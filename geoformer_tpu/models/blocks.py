@@ -1,0 +1,136 @@
+"""Shared flax building blocks: masked BatchNorm, MLPs, attention.
+
+BatchNorm semantics match the reference exactly: torch BatchNorm1d with
+eps=1e-4, momentum=0.1, weights initialized to (1, 0)
+(geoformer.py:39,186-191) — but statistics are computed over *valid*
+elements only, since every tensor here carries a padding mask.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over all leading axes, masked. x [..., C], mask [...]."""
+
+    features: int
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    eps: float = 1e-4
+    use_scale_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        if train:
+            m = mask.astype(x.dtype)[..., None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
+            var = jnp.sum(m * (x - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale_bias:
+            scale = self.param("scale", nn.initializers.ones, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y * scale + bias
+        return y
+
+
+class MLPConvBlock(nn.Module):
+    """conv_with_kaiming_uniform("BN", activation=True) equivalent
+    (geoformer_modules.py:132-161): Dense (no bias) + masked BN + ReLU."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        x = nn.Dense(self.features, use_bias=False,
+                     kernel_init=nn.initializers.kaiming_uniform())(x)
+        x = MaskedBatchNorm(self.features)(x, mask, train)
+        return nn.relu(x)
+
+
+class GenericMLP(nn.Module):
+    """Reference model/helper.py:42-118: Dense stacks with optional BN/act.
+
+    norm="bn" uses masked BN; hidden layers may drop bias like the reference.
+    """
+
+    hidden_dims: Sequence[int]
+    output_dim: int
+    norm: str | None = None  # None | "bn"
+    hidden_use_bias: bool = False
+    output_use_bias: bool = True
+    output_use_activation: bool = False
+    output_use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        for h in self.hidden_dims:
+            x = nn.Dense(h, use_bias=self.hidden_use_bias)(x)
+            if self.norm == "bn":
+                x = MaskedBatchNorm(h)(x, mask, train)
+            x = nn.relu(x)
+        x = nn.Dense(self.output_dim, use_bias=self.output_use_bias)(x)
+        if self.output_use_norm and self.norm == "bn":
+            x = MaskedBatchNorm(self.output_dim)(x, mask, train)
+        if self.output_use_activation:
+            x = nn.relu(x)
+        return x
+
+
+def masked_softmax(logits, mask, axis):
+    neg = jnp.finfo(logits.dtype).min
+    logits = jnp.where(mask, logits, neg)
+    out = jax.nn.softmax(logits, axis=axis)
+    return jnp.where(mask, out, 0.0)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard MHA (torch nn.MultiheadAttention semantics) over [B, N, d]."""
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, mask, train: bool):
+        d_head = self.d_model // self.nhead
+        dense = lambda name: nn.DenseGeneral((self.nhead, d_head), axis=-1, name=name)
+        q = dense("q")(q_in)
+        k = dense("k")(k_in)
+        v = dense("v")(v_in)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d_head).astype(q.dtype)
+        attn = masked_softmax(logits, mask[:, None, None, :], axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(out.shape[:-2] + (self.d_model,))
+        return nn.Dense(self.d_model, name="out")(out)
+
+
+class SimpleNorm(nn.Module):
+    """The backbone bottleneck's hand-rolled Norm (model/helper.py:64-76):
+    (x - mean) / (std + eps) with *unbiased* std, learnable alpha/bias."""
+
+    d_model: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.ones, (self.d_model,))
+        bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (x.shape[-1] - 1)
+        return alpha * (x - mean) / (jnp.sqrt(var) + self.eps) + bias

@@ -1,0 +1,451 @@
+"""GeoFormer: fully-supervised model (reference model/geoformer/geoformer.py).
+
+All stages run under one jit with static shapes:
+
+  voxelize -> sparse U-Net -> semantic head -> fg packing -> mask tower ->
+  set aggregator (random subsample + FPS + ball group) -> kNN + geodesic ->
+  Fourier embeddings -> DETR rel-attention decoder -> dynamic-conv mask head
+  [-> proposal generation at eval]
+
+Deviation from the reference: the reference seeds the geodesic BFS with FPS
+indices *into a randomly permuted subsample* but gathers them against the
+unpermuted foreground array (geoformer.py:575-580 feeding
+geodesic_utils.py:102), i.e. its seeds are not actually the query points.
+We map FPS indices through the subsample so seeds == query points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geoformer_tpu.models.aggregator import SetAggregator
+from geoformer_tpu.models.blocks import GenericMLP, MLPConvBlock, MaskedBatchNorm
+from geoformer_tpu.models.decoder import TransformerDecoder
+from geoformer_tpu.models.dynamic_conv import (
+    Controller,
+    dynamic_param_sizes,
+    mask_heads_forward,
+    parse_dynamic_params,
+)
+from geoformer_tpu.models.pos_embedding import PositionEmbeddingCoordsFourier
+from geoformer_tpu.models.unet import SemanticHead, SparseUNetBackbone
+from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
+from geoformer_tpu.ops.voxelize import devoxelize, voxel_mean_pool
+from geoformer_tpu.ops.knn import knn
+from geoformer_tpu.ops.geodesic import geodesic_distance
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    m: int = 16
+    classes: int = 13
+    input_channel: int = 3
+    use_coords: bool = True
+    train_fold: int = 0
+    cvfold: int = 0
+    dec_nlayers: int = 4
+    dec_dim: int = 64
+    dec_ffn_dim: int = 64
+    dec_nhead: int = 4
+    dec_dropout: float = 0.1
+    n_decode_point: int = 2048
+    n_query_points: int = 128
+    n_downsampling: int = 50000
+    spatial: int = 1024
+    depth: int = 7
+    max_voxels: int = 131072
+    voxel_decay: float = 0.5
+    max_fg_points: int = 131072
+    train_subsample: int = 30000
+    knn_neighbors: int = 64
+    geodesic_radius: float = 0.05
+    geodesic_steps_train: int = 128
+    geodesic_steps_eval: int = 256
+    ball_radius: float = 0.2
+    ball_nsample: int = 64
+    test_score_thresh: float = 0.5
+    test_npoint_thresh: int = 100
+    similarity_thresh: float = 0.5
+    # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
+    # off, and outputs are stop_gradient'ed (matches requires_grad=False +
+    # .eval() + no_grad contexts, geoformer.py:167-184,531,552)
+    fix_modules: tuple = ()
+
+    def is_fixed(self, name: str) -> bool:
+        return name in self.fix_modules
+
+    def train_for(self, name: str, train: bool) -> bool:
+        return train and not self.is_fixed(name)
+
+    @classmethod
+    def from_cfg(cls, cfg):
+        fix = tuple(cfg.fix_module)
+        # the reference splits the backbone into input_conv/unet/output_layer
+        # and the semantic head into semantic/semantic_linear; we fold them
+        if "unet" in fix:
+            fix = fix + ("backbone",)
+        if "semantic_linear" in fix or "semantic" in fix:
+            fix = fix + ("semantic",)
+        return cls(
+            fix_modules=fix,
+            similarity_thresh=cfg.similarity_thresh,
+            m=cfg.m,
+            classes=cfg.classes,
+            input_channel=cfg.input_channel,
+            use_coords=cfg.use_coords,
+            train_fold=cfg.train_fold,
+            cvfold=cfg.cvfold,
+            dec_nlayers=cfg.dec_nlayers,
+            dec_dim=cfg.dec_dim,
+            dec_ffn_dim=cfg.dec_ffn_dim,
+            dec_nhead=cfg.dec_nhead,
+            dec_dropout=cfg.dec_dropout,
+            n_decode_point=cfg.n_decode_point,
+            n_query_points=cfg.n_query_points,
+            n_downsampling=cfg.n_downsampling,
+            spatial=cfg.tpu_spatial_shape,
+            depth=cfg.tpu_unet_depth,
+            max_voxels=cfg.tpu_max_voxels,
+            voxel_decay=cfg.tpu_voxel_decay,
+            max_fg_points=cfg.tpu_max_fg_points,
+            train_subsample=cfg.tpu_train_subsample,
+            knn_neighbors=cfg.tpu_knn_neighbors,
+            geodesic_radius=cfg.tpu_geodesic_radius,
+            geodesic_steps_train=cfg.tpu_geodesic_steps_train,
+            geodesic_steps_eval=cfg.tpu_geodesic_steps_eval,
+            ball_radius=cfg.tpu_ball_radius,
+            ball_nsample=cfg.tpu_ball_nsample,
+            test_score_thresh=cfg.TEST_SCORE_THRESH,
+            test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
+        )
+
+
+def pack_by_mask(mask: jax.Array, capacity: int):
+    """Pack valid entries to the front (stable). [P] -> (idx [cap], valid [cap])."""
+    order = jnp.argsort(~mask)  # False (valid) sorts first, stable in index order
+    idx = order[:capacity].astype(jnp.int32)
+    return idx, mask[idx]
+
+
+def random_pack_by_mask(mask: jax.Array, capacity: int, rng: jax.Array):
+    """Random subsample of valid entries (np.random.choice replace=False
+    semantics, geoformer.py:575-580 / geoformer_modules.py:165-186)."""
+    scores = jnp.where(mask, jax.random.uniform(rng, mask.shape), 2.0)
+    order = jnp.argsort(scores)
+    idx = order[:capacity].astype(jnp.int32)
+    return idx, mask[idx]
+
+
+def gather_scene(arr, idx):
+    """arr [P, ...] gather rows -> [len(idx), ...]."""
+    return arr[idx]
+
+
+class GeoFormerBase(nn.Module):
+    """Shared submodules + stages for supervised and few-shot variants."""
+
+    mc: ModelConfig
+
+    def setup(self):
+        mc = self.mc
+        self.backbone = SparseUNetBackbone(mc.m, mc.classes, mc.depth, name="backbone")
+        self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
+        self.mask_tower = [
+            MLPConvBlock(mc.m, name=f"mask_tower{i}") for i in range(3)
+        ]
+        self.mask_out = nn.Dense(mc.m, name="mask_out")
+        agg_dim = 2 * mc.m
+        self.set_aggregator = SetAggregator(
+            mlp_dims=(agg_dim, agg_dim, agg_dim),
+            radius=mc.ball_radius,
+            nsample=mc.ball_nsample,
+            name="set_aggregator",
+        )
+        self.pos_embedding = PositionEmbeddingCoordsFourier(d_pos=mc.dec_dim, name="pos_embedding")
+        self.query_projection = GenericMLP(
+            hidden_dims=(mc.dec_dim,),
+            output_dim=mc.dec_dim,
+            hidden_use_bias=True,
+            output_use_activation=True,
+            name="query_projection",
+        )
+        self.decoder = TransformerDecoder(
+            num_layers=mc.dec_nlayers,
+            d_model=mc.dec_dim,
+            nhead=mc.dec_nhead,
+            dim_feedforward=mc.dec_ffn_dim,
+            dropout=mc.dec_dropout,
+            name="decoder",
+        )
+        _, _, num_gen = dynamic_param_sizes(mc.m, use_coords=True)
+        self.controller = Controller(mc.m, num_gen, name="controller_head")
+
+    # ---------------- backbone ----------------
+
+    def forward_backbone(self, batch, train: bool):
+        mc = self.mc
+        caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+        plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps)
+        feats = batch["feats"]
+        if mc.use_coords:
+            feats = jnp.concatenate([feats, batch["points"]], axis=-1)
+        voxel_feats = voxel_mean_pool(feats, plan.grids[0])
+        voxel_out = self.backbone(voxel_feats, plan, train)
+        point_feats = devoxelize(voxel_out, plan.grids[0])
+        semantic_scores = self.semantic(point_feats, batch["point_mask"], train)
+        semantic_preds = jnp.argmax(semantic_scores, axis=-1)
+        semantic_preds = jnp.where(batch["point_mask"], semantic_preds, -1)
+        return point_feats, semantic_scores, semantic_preds
+
+    def foreground_pack(self, semantic_preds, point_mask):
+        mc = self.mc
+        if mc.train_fold == mc.cvfold:
+            fg_cond = semantic_preds >= 4
+        else:
+            fg_cond = semantic_preds == 3
+        fg_cond = fg_cond & point_mask
+        return jax.vmap(lambda m: pack_by_mask(m, mc.max_fg_points))(fg_cond)
+
+    def run_mask_tower(self, fg_feats, fg_valid, train: bool):
+        x = fg_feats
+        for blk in self.mask_tower:
+            x = blk(x, fg_valid, train)
+        return self.mask_out(x)
+
+    # ---------------- aggregator ----------------
+
+    def forward_aggregator(self, fg_locs, fg_feats, fg_valid, train: bool):
+        """Random-subsample fg -> FPS K centers -> ball group -> SharedMLP.
+
+        Returns context_locs [B,K,3], context_feats [B,K,2m],
+        context_inds [B,K] (into the fg arrays), context_valid [B,K].
+        """
+        mc = self.mc
+        rng = self.make_rng("sample")
+        keys = jax.random.split(rng, fg_locs.shape[0])
+        sub_idx, sub_valid = jax.vmap(
+            lambda m, k: random_pack_by_mask(m, mc.n_downsampling, k)
+        )(fg_valid, keys)
+        sub_locs = jax.vmap(gather_scene)(fg_locs, sub_idx)
+        sub_feats = jax.vmap(gather_scene)(fg_feats, sub_idx)
+
+        new_xyz, grouped, _, inds, inds_valid, hit = self.set_aggregator.group(
+            sub_locs, sub_feats, sub_valid, mc.n_decode_point
+        )
+        # reference BN statistics run over all 64 slots (pads are duplicated
+        # first hits), so the group mask is just "center has any hit"
+        center_ok = jnp.any(hit, axis=-1) & inds_valid
+        group_mask = jnp.broadcast_to(center_ok[..., None], grouped.shape[:-1])
+        context_feats = self.set_aggregator(grouped, group_mask, train, pooling="max")
+        context_inds = jnp.take_along_axis(sub_idx, inds, axis=1)  # back into fg indexing
+        return new_xyz, context_feats, context_inds, inds_valid
+
+    # ---------------- geodesic ----------------
+
+    def forward_geodesic(self, fg_locs, fg_valid, context_inds, context_valid, train: bool):
+        mc = self.mc
+        q = mc.n_query_points
+        d2, idx = knn(fg_locs, fg_locs, fg_valid, mc.knn_neighbors + 1)
+        nbr_d = jnp.sqrt(jnp.maximum(d2[..., 1:], 0.0))
+        nbr_i = idx[..., 1:]
+        seeds = context_inds[:, :q]
+        seed_mask = context_valid[:, :q]
+        steps = mc.geodesic_steps_train if train else mc.geodesic_steps_eval
+        return geodesic_distance(
+            nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps
+        )  # [B, F, Q]
+
+    # ---------------- decoder ----------------
+
+    def rel_pos_tensor(self, query_locs, context_locs, geo_dist, context_inds, pc_mins, pc_maxs):
+        """Build the geodesic-guided relative position embedding
+        (geoformer.py:618-651). geo_dist [B,F,Q] -> embeds [B,Q,K,dec_dim]."""
+        b, k, _ = context_locs.shape
+        q = query_locs.shape[1]
+        rel = jnp.abs(query_locs[:, :, None, :] - context_locs[:, None, :, :])  # [B,Q,K,3]
+        geo_ctx = jax.vmap(lambda g, ci: g[ci])(geo_dist, context_inds)  # [B,K,Q]
+        geo_ctx = jnp.swapaxes(geo_ctx, 1, 2)  # [B,Q,K]
+        max_geo = jnp.max(geo_ctx, axis=2)  # [B,Q]
+        global_max = jnp.max(max_geo)
+        max_geo = jnp.where(max_geo < 0, global_max, max_geo)
+        geo3 = jnp.repeat(geo_ctx[..., None], 3, axis=-1)
+        fallback = max_geo[:, :, None, None] + rel
+        geo3 = jnp.where(geo3 < 0, fallback, geo3)
+        emb = self.pos_embedding(geo3.reshape(b, q * k, 3), pc_mins, pc_maxs)
+        return emb.reshape(b, q, k, -1)
+
+    def run_decoder(
+        self, enc2dec, context_locs, context_feats, context_valid, geo_dist, context_inds,
+        pc_mins, pc_maxs, train: bool,
+    ):
+        mc = self.mc
+        q = mc.n_query_points
+        ctx_feats = enc2dec(context_feats, context_valid, train)  # [B,K,dec_dim]
+        query_locs = context_locs[:, :q]
+        query_valid = context_valid[:, :q]
+
+        query_pos = self.pos_embedding(query_locs, pc_mins, pc_maxs)
+        query_pos = self.query_projection(query_pos, query_valid, train)
+        dec_inputs = ctx_feats[:, :q]
+
+        rel_pos = self.rel_pos_tensor(
+            query_locs, context_locs, geo_dist, context_inds, pc_mins, pc_maxs
+        )
+        dec_outputs = self.decoder(
+            dec_inputs, ctx_feats, query_pos, rel_pos, query_valid, context_valid, train
+        )  # [L,B,Q,d]
+        return dec_outputs, query_locs, query_valid
+
+    # ---------------- mask head ----------------
+
+    def get_mask_prediction(
+        self, sem_head, dec_outputs, geo_dist, mask_feats, fg_locs, fg_valid, query_locs,
+        query_valid, train: bool,
+    ):
+        """Per decoder layer: cls logits + dynamic-conv mask logits.
+
+        Returns cls_logits [L,B,Q,classes] (or None), mask_logits [L,B,Q,F].
+        """
+        mc = self.mc
+        n_layers = dec_outputs.shape[0]
+        cls_list, mask_list = [], []
+        for l in range(n_layers):
+            x = dec_outputs[l]  # [B,Q,d]
+            cls_logits = sem_head(x, query_valid, train) if sem_head is not None else None
+            params = self.controller(x, query_valid, train)  # [B,Q,num_gen]
+            w1, b1, w2, b2 = parse_dynamic_params(params, mc.m, use_coords=True)
+            mask_logits = jax.vmap(mask_heads_forward)(
+                geo_dist, mask_feats, w1, b1, w2, b2, fg_locs, query_locs
+            )  # [B,Q,F]
+            mask_logits = jnp.where(fg_valid[:, None, :], mask_logits, -1e4)
+            cls_list.append(cls_logits)
+            mask_list.append(mask_logits)
+        cls_out = jnp.stack(cls_list) if cls_list[0] is not None else None
+        return cls_out, jnp.stack(mask_list)
+
+
+class GeoFormer(GeoFormerBase):
+    """Fully-supervised GeoFormer (geoformer.py:23-662)."""
+
+    def setup(self):
+        super().setup()
+        mc = self.mc
+        self.encoder_to_decoder_projection = GenericMLP(
+            hidden_dims=(2 * mc.m,),
+            output_dim=mc.dec_dim,
+            norm="bn",
+            output_use_activation=True,
+            output_use_norm=True,
+            output_use_bias=False,
+            name="encoder_to_decoder_projection",
+        )
+        self.detr_sem_head = GenericMLP(
+            hidden_dims=(mc.dec_dim, mc.dec_dim),
+            output_dim=mc.classes,
+            norm="bn",
+            name="detr_sem_head",
+        )
+
+    def __call__(self, batch, train: bool = True, semantic_only: bool = False):
+        mc = self.mc
+        outputs = {}
+        point_feats, semantic_scores, semantic_preds = self.forward_backbone(batch, train)
+        outputs["semantic_scores"] = semantic_scores
+        if semantic_only:
+            return outputs
+
+        fg_idx, fg_valid = self.foreground_pack(semantic_preds, batch["point_mask"])
+        fg_locs = jax.vmap(gather_scene)(batch["points"], fg_idx)
+        fg_feats = jax.vmap(gather_scene)(point_feats, fg_idx)
+        outputs["fg_idx"], outputs["fg_valid"] = fg_idx, fg_valid
+
+        mask_feats = self.run_mask_tower(fg_feats, fg_valid, train)
+
+        context_locs, context_feats, context_inds, context_valid = self.forward_aggregator(
+            fg_locs, fg_feats, fg_valid, train
+        )
+        geo_dist = self.forward_geodesic(fg_locs, fg_valid, context_inds, context_valid, train)
+
+        dec_outputs, query_locs, query_valid = self.run_decoder(
+            self.encoder_to_decoder_projection,
+            context_locs, context_feats, context_valid, geo_dist, context_inds,
+            batch["pc_mins"], batch["pc_maxs"], train,
+        )
+        outputs["query_valid"] = query_valid
+
+        if train:
+            rng = self.make_rng("sample")
+            keys = jax.random.split(rng, fg_locs.shape[0])
+            sub_idx, sub_valid = jax.vmap(
+                lambda m, k: random_pack_by_mask(m, mc.train_subsample, k)
+            )(fg_valid, keys)
+            mask_feats_s = jax.vmap(gather_scene)(mask_feats, sub_idx)
+            fg_locs_s = jax.vmap(gather_scene)(fg_locs, sub_idx)
+            geo_s = jax.vmap(gather_scene)(geo_dist, sub_idx)
+            fg_idx_s = jnp.take_along_axis(fg_idx, sub_idx, axis=1)
+            outputs["fg_idx"], outputs["fg_valid"] = fg_idx_s, sub_valid
+            cls_logits, mask_logits = self.get_mask_prediction(
+                self.detr_sem_head, dec_outputs, geo_s, mask_feats_s, fg_locs_s, sub_valid,
+                query_locs, query_valid, train,
+            )
+        else:
+            dec_outputs = dec_outputs[-1:]
+            cls_logits, mask_logits = self.get_mask_prediction(
+                self.detr_sem_head, dec_outputs, geo_dist, mask_feats, fg_locs, fg_valid,
+                query_locs, query_valid, train,
+            )
+
+        outputs["cls_logits"] = cls_logits  # [L,B,Q,classes]
+        outputs["mask_logits"] = mask_logits  # [L,B,Q,F]
+
+        if not train:
+            sem_fg = jax.vmap(gather_scene)(jax.nn.softmax(semantic_scores, -1), fg_idx)
+            outputs["proposals"] = generate_proposal(
+                mask_logits[-1], cls_logits[-1], fg_idx, fg_valid, sem_fg,
+                batch["point_mask"],
+                logit_thresh=0.5,
+                score_thresh=mc.test_score_thresh,
+                npoint_thresh=mc.test_npoint_thresh,
+            )
+        return outputs
+
+
+def generate_proposal(
+    mask_logits, cls_logits, fg_idx, fg_valid, sem_scores_fg, point_mask,
+    logit_thresh=0.5, score_thresh=0.5, npoint_thresh=100,
+):
+    """Static-shape proposal generation (geoformer.py:193-262).
+
+    mask_logits [B,Q,F], cls_logits [B,Q,classes]. Returns a dict of
+    per-query proposals scattered to full point resolution with a validity
+    flag instead of the reference's dynamic filtering.
+    """
+    p = point_mask.shape[1]
+
+    def scene(ml, cl, fidx, fval, sem):
+        probs = jax.nn.sigmoid(ml)  # [Q,F]
+        cls_prob = jax.nn.softmax(cl, -1)
+        cls_pred = jnp.argmax(cl, -1)  # [Q]
+        mask_bool = (probs >= logit_thresh) & fval[None, :]
+        npoints = jnp.sum(mask_bool, axis=1)
+        mask_scores = jnp.sum(probs * mask_bool, axis=1) / (npoints + 1e-6)
+        cls_scores = jnp.take_along_axis(cls_prob, cls_pred[:, None], axis=1)[:, 0]
+        sem_q = jnp.einsum("qf,fc->qc", mask_bool.astype(sem.dtype), sem) / (
+            npoints[:, None] + 1e-6
+        )
+        sem_scores_q = jnp.take_along_axis(sem_q, cls_pred[:, None], axis=1)[:, 0]
+        scores = mask_scores * jnp.sqrt(cls_scores) * sem_scores_q
+        keep = (cls_pred >= 4) & (npoints >= npoint_thresh) & (mask_scores >= score_thresh)
+        full = jnp.zeros((ml.shape[0], p + 1), bool).at[:, fidx].set(mask_bool)[:, :p]
+        return {
+            "masks": full,  # [Q, P] bool
+            "scores": scores,
+            "classes": cls_pred,
+            "keep": keep,
+        }
+
+    return jax.vmap(scene)(mask_logits, cls_logits, fg_idx, fg_valid, sem_scores_fg)

@@ -1,0 +1,45 @@
+"""Fourier positional embedding (reference model/pos_embedding.py:13-134).
+
+Gaussian-matrix Fourier features of min-max normalized coordinates. The
+gaussian matrix is a fixed (non-trained) buffer in the reference
+(pos_embedding.py:38-41) and must survive checkpoints — stored in the
+'constants' variable collection here.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def shift_scale_points(xyz, src_min, src_max):
+    """Map xyz [B,N,3] into [0,1]^3 given per-scene ranges [B,3]
+    (reference util/utils_pc.py:35-61)."""
+    diff = jnp.maximum(src_max - src_min, 1e-12)[:, None, :]
+    return (xyz - src_min[:, None, :]) / diff
+
+
+class PositionEmbeddingCoordsFourier(nn.Module):
+    d_pos: int
+    d_in: int = 3
+    gauss_scale: float = 1.0
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, pc_mins, pc_maxs):
+        """xyz [B,N,3] -> [B,N,d_pos] (note: reference returns channel-first;
+        we stay channel-last)."""
+        gauss = self.variable(
+            "constants",
+            "gauss_B",
+            lambda: jax.random.normal(self.make_rng("params"), (self.d_in, self.d_pos // 2))
+            * self.gauss_scale,
+        )
+        x = xyz
+        if self.normalize:
+            x = shift_scale_points(x, pc_mins, pc_maxs)
+        x = x * (2.0 * np.pi)
+        proj = jnp.einsum("bnd,dk->bnk", x, gauss.value)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)

@@ -1,0 +1,196 @@
+"""Sparse 3D U-Net backbone (reference geoformer_modules.py:10-129).
+
+Recursive UBlock over nPlanes=[m..7m]: 2 ResidualBlocks per level, k2s2
+down / inverse-k2 up, skip concat + 2 tail blocks; at the bottleneck a
+small dense transformer encoder runs over the (few) deepest voxels
+(geoformer_modules.py:64-68,120-127 / model/transformer.py:153-188).
+
+Convolutions consume the precomputed `GridPlan` rulebooks; no module ever
+sees a dynamic shape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
+from geoformer_tpu.ops.sparse_conv import GridPlan, dense_1x1, down_conv, subm_conv, up_conv
+
+
+def _subm_param(module, name, cin, cout):
+    # kaiming-like fan-in init over the 27*cin fan
+    init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+    return module.param(name, init, (27, cin, cout))
+
+
+class ResidualBlock(nn.Module):
+    """(BN-ReLU-SubM3-BN-ReLU-SubM3) + identity (1x1 if channels change)."""
+
+    in_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, nbr, vmask, train: bool):
+        if self.in_channels == self.out_channels:
+            identity = feats
+        else:
+            wi = self.param(
+                "i_branch",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (self.in_channels, self.out_channels),
+            )
+            identity = dense_1x1(feats, wi)
+        x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
+        x = nn.relu(x)
+        x = subm_conv(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels))
+        x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
+        x = nn.relu(x)
+        x = subm_conv(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels))
+        x = x + identity
+        return jnp.where(vmask[..., None], x, 0.0)
+
+
+class BottleneckTransformer(nn.Module):
+    """Dense encoder over bottleneck voxels (model/transformer.py:153-188).
+
+    Positional term: linear(mean_j (xyz_i - xyz_j)) == linear(xyz_i - mean xyz),
+    computed with masked means. Self-attention is masked over pad voxels.
+    """
+
+    d_model: int = 128
+    n_layers: int = 2
+    heads: int = 4
+    d_ff: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, feats, xyz, vmask, train: bool):
+        m = vmask.astype(feats.dtype)[..., None]
+        n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        centered = (xyz - jnp.sum(xyz * m, axis=1, keepdims=True) / n) * m
+        pos = nn.Dense(self.d_model, name="position_linear")(centered)
+        x = feats + pos
+        for i in range(self.n_layers):
+            # EncoderLayer (model/helper.py:93-108): prenorm attn + prenorm FF
+            x2 = SimpleNorm(self.d_model, name=f"norm1_{i}")(x)
+            attn = MultiHeadSelfAttention(self.d_model, self.heads, name=f"attn_{i}")(
+                x2, x2, x2, vmask, train
+            )
+            x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
+            x2 = SimpleNorm(self.d_model, name=f"norm2_{i}")(x)
+            h = nn.Dense(self.d_ff, name=f"ff1_{i}")(x2)
+            h = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(h))
+            h = nn.Dense(self.d_model, name=f"ff2_{i}")(h)
+            x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = SimpleNorm(self.d_model, name="norm_out")(x)
+        return jnp.where(vmask[..., None], x, 0.0)
+
+
+class UBlock(nn.Module):
+    """Recursive U-Net block over nPlanes (geoformer_modules.py:52-129)."""
+
+    n_planes: Sequence[int]
+    block_reps: int = 2
+    use_backbone_transformer: bool = True
+    level: int = 0
+
+    @nn.compact
+    def __call__(self, feats, plan: GridPlan, train: bool):
+        lvl = self.level
+        nbr = plan.subm[lvl]
+        vmask = plan.grids[lvl].voxel_mask
+        c0 = self.n_planes[0]
+
+        x = feats
+        for i in range(self.block_reps):
+            cin = x.shape[-1] if i == 0 else c0
+            x = ResidualBlock(cin, c0, name=f"block{i}")(x, nbr, vmask, train)
+
+        if len(self.n_planes) > 1:
+            c1 = self.n_planes[1]
+            identity = x
+            # down: BN, ReLU, SparseConv3d k2s2
+            d = MaskedBatchNorm(c0, name="conv_bn")(x, vmask, train)
+            d = nn.relu(d)
+            wd = self.param(
+                "conv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c0, c1)
+            )
+            d = down_conv(d, plan.links[lvl], wd)
+            d = UBlock(
+                self.n_planes[1:],
+                self.block_reps,
+                self.use_backbone_transformer,
+                level=lvl + 1,
+                name="u",
+            )(d, plan, train)
+            # up: BN, ReLU, SparseInverseConv3d k2
+            u = MaskedBatchNorm(c1, name="deconv_bn")(d, plan.grids[lvl + 1].voxel_mask, train)
+            u = nn.relu(u)
+            wu = self.param(
+                "deconv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c1, c0)
+            )
+            u = up_conv(u, plan.links[lvl], wu)
+            u = jnp.where(vmask[..., None], u, 0.0)
+
+            x = jnp.concatenate([identity, u], axis=-1)
+            for i in range(self.block_reps):
+                cin = c0 * (2 - i)
+                x = ResidualBlock(cin, c0, name=f"block_tail{i}")(x, nbr, vmask, train)
+
+        if len(self.n_planes) <= 2 and self.use_backbone_transformer:
+            d_model = 128
+            xyz = plan.grids[lvl].voxel_coords.astype(jnp.float32)
+            h = nn.Dense(d_model, name="before_transformer_linear")(x)
+            h = BottleneckTransformer(d_model, name="transformer")(h, xyz, vmask, train)
+            x = nn.Dense(c0, name="after_transformer_linear")(h)
+            x = jnp.where(vmask[..., None], x, 0.0)
+
+        return x
+
+
+class SparseUNetBackbone(nn.Module):
+    """input_conv + UBlock + output_layer + semantic head
+    (geoformer.py:42-59,530-549)."""
+
+    m: int
+    classes: int
+    depth: int = 7
+    block_reps: int = 2
+
+    @nn.compact
+    def __call__(self, voxel_feats, plan: GridPlan, train: bool):
+        vmask0 = plan.grids[0].voxel_mask
+        w_in = self.param(
+            "input_conv",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (27, voxel_feats.shape[-1], self.m),
+        )
+        x = subm_conv(voxel_feats, plan.subm[0], w_in)
+        x = jnp.where(vmask0[..., None], x, 0.0)
+
+        planes = [self.m * (i + 1) for i in range(self.depth)]
+        x = UBlock(planes, self.block_reps, True, level=0, name="unet")(x, plan, train)
+
+        x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
+        x = nn.relu(x)
+        return x  # [B, V0, m]
+
+
+class SemanticHead(nn.Module):
+    """2x (Dense+BN+ReLU) + Dense->classes (geoformer.py:56-59)."""
+
+    m: int
+    classes: int
+
+    @nn.compact
+    def __call__(self, point_feats, pmask, train: bool):
+        x = nn.Dense(self.m)(point_feats)
+        x = MaskedBatchNorm(self.m)(x, pmask, train)
+        x = nn.relu(x)
+        x = nn.Dense(self.m)(x)
+        x = MaskedBatchNorm(self.m)(x, pmask, train)
+        x = nn.relu(x)
+        return nn.Dense(self.classes)(x)

@@ -1,0 +1,118 @@
+"""Sort-based voxelization — TPU-native replacement for pointgroup_ops.
+
+The reference builds point<->voxel maps with a host C++ hash map
+(lib/pointgroup_ops/src/voxelize/voxelize.cpp:10-152) and scatters features
+with CUDA atomics (voxelize.cu:9-56). Here the whole thing is jittable XLA:
+sort packed int32 keys, flag segment heads, prefix-sum to assign voxel slots.
+Static shapes: every scene is padded to P points and V voxels; slot V is a
+zero "pad" voxel that absorbs invalid points and capacity overflow.
+
+Layout is per-scene `[B, P, ...]` (vmapped), so keys fit int32 for grids up
+to 1024^3 (the reference caps spatial extent at full_scale=512 after crop;
+uncropped eval scenes at 2cm stay under 1024).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelGrid(NamedTuple):
+    """Point->voxel assignment for one padded batch.
+
+    p2v:          [B, P] int32, point -> voxel slot in [0, V]; V = pad slot.
+    voxel_coords: [B, V, 3] int32 grid coords of each voxel (pad slots: -1).
+    voxel_keys:   [B, V] int32 packed keys, ascending over valid slots
+                  (pad slots hold the sentinel), ready for searchsorted.
+    voxel_mask:   [B, V] bool validity.
+    n_voxels:     [B] int32 number of valid voxels.
+    counts:       [B, V] int32 points per voxel.
+    """
+
+    p2v: jax.Array
+    voxel_coords: jax.Array
+    voxel_keys: jax.Array
+    voxel_mask: jax.Array
+    n_voxels: jax.Array
+    counts: jax.Array
+
+
+def pack_key(coords: jax.Array, spatial: int) -> jax.Array:
+    """Pack [..., 3] int32 grid coords into a scalar int32 key (z-major)."""
+    return (coords[..., 2] * spatial + coords[..., 1]) * spatial + coords[..., 0]
+
+
+def unpack_key(key: jax.Array, spatial: int) -> jax.Array:
+    x = key % spatial
+    y = (key // spatial) % spatial
+    z = key // (spatial * spatial)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _voxelize_scene(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial: int):
+    """Single-scene voxelization. coords [P,3] int32 >=0, mask [P] bool."""
+    p = coords.shape[0]
+    v = num_voxels
+    sentinel = jnp.int32(spatial * spatial * spatial)  # > any valid key
+
+    key = jnp.where(mask, pack_key(coords, spatial), sentinel)
+    order = jnp.argsort(key)  # stable; invalid points sort last
+    skey = key[order]
+
+    valid_sorted = skey < sentinel
+    prev = jnp.concatenate([jnp.full((1,), -1, skey.dtype), skey[:-1]])
+    head = valid_sorted & (skey != prev)
+
+    vox_id_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1  # [P], -1 before first head
+    n_vox = jnp.sum(head.astype(jnp.int32))
+    # invalid points and capacity overflow land in the pad slot V
+    vox_id_sorted = jnp.where(valid_sorted & (vox_id_sorted < v), vox_id_sorted, v)
+
+    p2v = jnp.zeros((p,), jnp.int32).at[order].set(vox_id_sorted.astype(jnp.int32))
+
+    scatter_slots = jnp.where(head & (vox_id_sorted < v), vox_id_sorted, v)
+    voxel_keys = jnp.full((v + 1,), sentinel, jnp.int32).at[scatter_slots].set(skey)
+    voxel_keys = voxel_keys[:v]
+
+    n_vox = jnp.minimum(n_vox, v)
+    slot = jnp.arange(v, dtype=jnp.int32)
+    voxel_mask = slot < n_vox
+    voxel_coords = jnp.where(voxel_mask[:, None], unpack_key(voxel_keys, spatial), -1)
+
+    counts = (
+        jnp.zeros((v + 1,), jnp.int32).at[p2v].add(mask.astype(jnp.int32))[:v]
+    )
+    return p2v, voxel_coords, voxel_keys, voxel_mask, n_vox, counts
+
+
+def voxelize(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial: int) -> VoxelGrid:
+    """Batched voxelization. coords [B,P,3] int32, mask [B,P] bool."""
+    fn = lambda c, m: _voxelize_scene(c, m, num_voxels, spatial)
+    out = jax.vmap(fn)(coords, mask)
+    return VoxelGrid(*out)
+
+
+def voxel_mean_pool(feats: jax.Array, grid: VoxelGrid) -> jax.Array:
+    """Scatter-mean point features into voxels (reference mode=4 'mean',
+    voxelize.cu:9-38). feats [B,P,C] -> [B,V,C]."""
+    v = grid.voxel_keys.shape[1]
+
+    def scene(f, p2v, counts):
+        summed = jnp.zeros((v + 1, f.shape[-1]), f.dtype).at[p2v].add(f)[:v]
+        return summed / jnp.maximum(counts, 1)[:, None].astype(f.dtype)
+
+    return jax.vmap(scene)(feats, grid.p2v, grid.counts)
+
+
+def devoxelize(voxel_feats: jax.Array, grid: VoxelGrid) -> jax.Array:
+    """Gather voxel features back to points (reference point_recover /
+    `output.features[p2v_map]`, geoformer.py:541). [B,V,C] -> [B,P,C]."""
+
+    def scene(vf, p2v):
+        vf_pad = jnp.concatenate([vf, jnp.zeros((1, vf.shape[-1]), vf.dtype)], axis=0)
+        return vf_pad[p2v]
+
+    return jax.vmap(scene)(voxel_feats, grid.p2v)

@@ -1,0 +1,168 @@
+"""Flat YAML config, mirroring the reference's schema.
+
+The reference (util/config.py:11-40) flattens YAML sections
+(GENERAL/META/DETR/DATA/STRUCTURE/TRAIN/TEST) onto one argparse namespace
+singleton. We keep the same YAML schema so reference configs load unchanged,
+but use an explicit immutable-ish Config object instead of an import-time
+singleton, plus a TPU section for static-shape capacities.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+from types import SimpleNamespace
+
+import yaml
+
+# Defaults cover every knob the reference configs set, plus TPU capacities.
+_DEFAULTS = dict(
+    # GENERAL
+    task="train",
+    manual_seed=123,
+    # META
+    train_fold=0,
+    cvfold=0,
+    k_shot=1,
+    similarity_thresh=0.5,
+    fix_support=False,
+    negative_ratio=2,
+    run_num=10,
+    type_support="fullscene_fold",
+    file_support="support_vectors_df",
+    test_model="geoformer",
+    test_fold=0,
+    # DETR
+    dec_nlayers=4,
+    dec_dim=64,
+    dec_ffn_dim=64,
+    dec_dropout=0.1,
+    dec_nhead=4,
+    use_rel=True,
+    n_downsampling=50000,
+    n_decode_point=2048,
+    n_query_points=128,
+    filter_biases_wd=False,
+    base_lr=0.0005,
+    warm_lr=1e-6,
+    warm_lr_epochs=3,
+    final_lr=1e-6,
+    lr_scheduler="cosine",
+    # DATA
+    data_root="data",
+    dataset="scannetv2",
+    filename_suffix=".npy",
+    classes=13,
+    ignore_label=-100,
+    input_channel=3,
+    scale=50,
+    batch_size=4,
+    full_scale=[128, 512],
+    full_scale_support=[32, 64],
+    max_npoint=250000,
+    mode=4,
+    # STRUCTURE
+    model_name="geoformer",
+    m=16,
+    block_residual=True,
+    block_reps=2,
+    use_coords=True,
+    # TRAIN
+    start_epoch=0,
+    prepare_epochs=120,
+    epochs=500,
+    num_workers=0,
+    optim="Adam",
+    lr=0.001,
+    step_epoch=384,
+    multiplier=0.5,
+    momentum=0.9,
+    weight_decay=0.0001,
+    save_freq=10,
+    save_freq_last=2,
+    fix_module=[],
+    loss_weight=[1.0, 1.0, 1.0, 1.0],
+    # TEST
+    split="val",
+    test_epoch=29999,
+    test_workers=0,
+    test_seed=567,
+    TEST_NMS_THRESH=0.3,
+    TEST_SCORE_THRESH=0.1,
+    TEST_NPOINT_THRESH=50,
+    BENCHMARK_SEMANTIC_LABELS=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39],
+    eval=True,
+    save_semantic=False,
+    save_pt_offsets=False,
+    save_instance=False,
+    save_cluster=False,
+    save_fg=False,
+    # --- TPU static-shape capacities (ours; no reference equivalent) ---
+    tpu_max_points=250000,      # P: padded points per scene
+    tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
+    tpu_voxel_decay=0.5,        # V_{l+1} = ceil(V_l * decay) (clamped to >= 64)
+    tpu_max_fg_points=131072,   # F: padded foreground points per scene
+    tpu_train_subsample=30000,  # mask-head training subsample (ref: 30k)
+    tpu_max_instances=64,       # gt instance capacity per scene
+    tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
+    tpu_geodesic_radius=0.05,   # edge gate (ref: 0.05)
+    tpu_geodesic_steps_train=128,
+    tpu_geodesic_steps_eval=256,
+    tpu_spatial_shape=1024,     # voxel grid extent per axis (power of two)
+    tpu_unet_depth=7,           # number of U-Net levels (ref: 7)
+    tpu_ball_radius=0.2,        # set-aggregator ball radius (ref: 0.2)
+    tpu_ball_nsample=64,        # set-aggregator group size (ref: 64)
+    tpu_compute_dtype="float32",  # "bfloat16" for MXU-heavy paths
+    # paths filled by CLI
+    config=None,
+    pretrain=None,
+    resume=None,
+    output_path="exp",
+    exp_name="default",
+)
+
+
+class Config(SimpleNamespace):
+    """Flat config namespace; attribute access like the reference's cfg."""
+
+    def replace(self, **kw) -> "Config":
+        new = copy.deepcopy(vars(self))
+        new.update(kw)
+        return Config(**new)
+
+    def to_dict(self) -> dict:
+        return dict(vars(self))
+
+
+def load_config(yaml_path: str | None = None, **overrides) -> Config:
+    """Build a Config from defaults <- YAML sections <- overrides."""
+    merged = dict(_DEFAULTS)
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+        for _section, kv in raw.items():
+            if isinstance(kv, dict):
+                merged.update(kv)
+    merged.update(overrides)
+    merged["config"] = yaml_path
+    return Config(**merged)
+
+
+def config_from_args(argv=None) -> Config:
+    """CLI entry matching the reference's argparse surface (util/config.py)."""
+    p = argparse.ArgumentParser("geoformer_tpu")
+    p.add_argument("--config", type=str, default=None, help="path to config yaml")
+    p.add_argument("--pretrain", type=str, default=None, help="path to pretrain checkpoint")
+    p.add_argument("--resume", type=str, default=None, help="path to resume checkpoint")
+    p.add_argument("--output_path", type=str, default="exp")
+    p.add_argument("--exp_name", type=str, default="default")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--use_backbone", action="store_true")
+    args = p.parse_args(argv)
+    return load_config(
+        args.config,
+        pretrain=args.pretrain,
+        resume=args.resume,
+        output_path=args.output_path,
+        exp_name=args.exp_name,
+    )

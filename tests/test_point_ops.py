@@ -1,0 +1,131 @@
+"""FPS / ball query / kNN / geodesic vs numpy & scipy references."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse
+import scipy.sparse.csgraph
+
+from geoformer_tpu.ops.fps import furthest_point_sample
+from geoformer_tpu.ops.ball_query import ball_query
+from geoformer_tpu.ops.knn import knn
+from geoformer_tpu.ops.geodesic import geodesic_distance
+
+
+def np_fps(points, mask, k):
+    n = points.shape[0]
+    dist = np.where(mask, 1e10, -1.0)
+    idxs = np.zeros(k, np.int64)
+    last = 0
+    for i in range(1, k):
+        d = np.sum((points - points[last]) ** 2, -1)
+        dist = np.where(mask, np.minimum(dist, d), -1.0)
+        last = int(np.argmax(dist))
+        idxs[i] = last
+    return idxs
+
+
+def test_fps_matches_numpy():
+    rng = np.random.default_rng(0)
+    P, K = 100, 16
+    pts = rng.normal(size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    mask[80:] = False
+    idx, valid = furthest_point_sample(jnp.asarray(pts[None]), jnp.asarray(mask[None]), K)
+    ref = np_fps(pts, mask, K)
+    np.testing.assert_array_equal(np.asarray(idx[0]), ref)
+    assert bool(valid[0].all())
+
+
+def test_fps_fewer_valid_than_samples():
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    mask = np.zeros(20, bool)
+    mask[:5] = True
+    idx, valid = furthest_point_sample(jnp.asarray(pts[None]), jnp.asarray(mask[None]), 8)
+    assert np.asarray(valid[0]).sum() == 5
+    assert set(np.asarray(idx[0])[:5]) <= set(range(5))
+
+
+def test_ball_query_first_in_index_order():
+    rng = np.random.default_rng(1)
+    P, K, NS, R = 200, 8, 4, 0.5
+    pts = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    mask[190:] = False
+    centers = pts[:K]
+    idx, hit = ball_query(
+        jnp.asarray(centers[None]), jnp.asarray(pts[None]), jnp.asarray(mask[None]), R, NS
+    )
+    idx, hit = np.asarray(idx[0]), np.asarray(hit[0])
+    for c in range(K):
+        d2 = np.sum((pts - centers[c]) ** 2, -1)
+        inside = np.nonzero((d2 <= R * R) & mask)[0]
+        expect = inside[:NS]
+        got = idx[c][hit[c]]
+        np.testing.assert_array_equal(np.sort(got), np.sort(expect))
+        if len(expect) < NS and len(expect) > 0:
+            # padding repeats the first hit
+            assert np.all(idx[c][~hit[c]] == got[0])
+
+
+def test_knn_matches_numpy():
+    rng = np.random.default_rng(2)
+    P, K = 300, 8
+    pts = rng.normal(size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    mask[250:] = False
+    d, i = knn(
+        jnp.asarray(pts[None]), jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+        K, query_chunk=64, key_tile=128,
+    )
+    d, i = np.asarray(d[0]), np.asarray(i[0])
+    d2_full = np.sum((pts[:, None] - pts[None]) ** 2, -1)
+    d2_full[:, ~mask] = 1e30
+    for q in range(250):
+        ref = np.sort(d2_full[q])[:K]
+        np.testing.assert_allclose(np.sort(d[q]), ref, rtol=1e-3, atol=1e-5)
+        assert i[q, np.argmin(d[q])] == q  # self is the nearest
+
+
+def test_geodesic_matches_dijkstra():
+    rng = np.random.default_rng(4)
+    P, NBR, Q, R = 120, 8, 4, 0.35
+    pts = rng.uniform(0, 1, size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    mask[110:] = False
+
+    d2, idx = knn(jnp.asarray(pts[None]), jnp.asarray(pts[None]), jnp.asarray(mask[None]), NBR + 1)
+    nbr_d = np.sqrt(np.asarray(d2[0])[:, 1:])
+    nbr_i = np.asarray(idx[0])[:, 1:]
+
+    seeds = np.array([0, 5, 9, 200], np.int32)  # last seed invalid
+    seed_mask = np.array([True, True, True, False])
+
+    geo = geodesic_distance(
+        jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+        jnp.asarray(seeds[None]), jnp.asarray(seed_mask[None]),
+        jnp.asarray(mask[None]), R, 64,
+    )
+    geo = np.asarray(geo[0])  # [P, Q]
+
+    # scipy reference on the symmetrized radius-gated kNN graph
+    rows, cols, vals = [], [], []
+    for p in range(P):
+        if not mask[p]:
+            continue
+        for j in range(NBR):
+            if nbr_d[p, j] <= R and mask[nbr_i[p, j]]:
+                rows.append(p)
+                cols.append(nbr_i[p, j])
+                vals.append(nbr_d[p, j])
+    g = scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(P, P))
+    ref = scipy.sparse.csgraph.dijkstra(g, directed=False, indices=seeds[:3])
+
+    for qi in range(3):
+        r = ref[qi]
+        got = geo[:, qi]
+        reached = np.isfinite(r) & mask
+        np.testing.assert_allclose(got[reached], r[reached], rtol=1e-4, atol=1e-5)
+        assert np.all(got[~reached & mask] == -1)
+    np.testing.assert_array_equal(geo[:, 3][mask], -1)  # invalid seed: all unreached
+    assert np.all(geo[~mask] == -1)
