@@ -194,9 +194,15 @@ class GeoFormerBase(nn.Module):
         if mc.use_coords:
             feats = jnp.concatenate([feats, batch["points"]], axis=-1)
         voxel_feats = voxel_mean_pool(feats, plan.grids[0])
-        voxel_out = self.backbone(voxel_feats, plan, train)
+        voxel_out = self.backbone(voxel_feats, plan, mc.train_for("backbone", train))
         point_feats = devoxelize(voxel_out, plan.grids[0])
-        semantic_scores = self.semantic(point_feats, batch["point_mask"], train)
+        if mc.is_fixed("backbone"):
+            point_feats = jax.lax.stop_gradient(point_feats)
+        semantic_scores = self.semantic(
+            point_feats, batch["point_mask"], mc.train_for("semantic", train)
+        )
+        if mc.is_fixed("semantic"):
+            semantic_scores = jax.lax.stop_gradient(semantic_scores)
         semantic_preds = jnp.argmax(semantic_scores, axis=-1)
         semantic_preds = jnp.where(batch["point_mask"], semantic_preds, -1)
         return point_feats, semantic_scores, semantic_preds
@@ -211,10 +217,12 @@ class GeoFormerBase(nn.Module):
         return jax.vmap(lambda m: pack_by_mask(m, mc.max_fg_points))(fg_cond)
 
     def run_mask_tower(self, fg_feats, fg_valid, train: bool):
+        train = self.mc.train_for("mask_tower", train)
         x = fg_feats
         for blk in self.mask_tower:
             x = blk(x, fg_valid, train)
-        return self.mask_out(x)
+        x = self.mask_out(x)
+        return jax.lax.stop_gradient(x) if self.mc.is_fixed("mask_tower") else x
 
     # ---------------- aggregator ----------------
 
@@ -225,6 +233,7 @@ class GeoFormerBase(nn.Module):
         context_inds [B,K] (into the fg arrays), context_valid [B,K].
         """
         mc = self.mc
+        train = mc.train_for("set_aggregator", train)
         rng = self.make_rng("sample")
         keys = jax.random.split(rng, fg_locs.shape[0])
         sub_idx, sub_valid = jax.vmap(
@@ -241,6 +250,8 @@ class GeoFormerBase(nn.Module):
         center_ok = jnp.any(hit, axis=-1) & inds_valid
         group_mask = jnp.broadcast_to(center_ok[..., None], grouped.shape[:-1])
         context_feats = self.set_aggregator(grouped, group_mask, train, pooling="max")
+        if mc.is_fixed("set_aggregator"):
+            context_feats = jax.lax.stop_gradient(context_feats)
         context_inds = jnp.take_along_axis(sub_idx, inds, axis=1)  # back into fg indexing
         return new_xyz, context_feats, context_inds, inds_valid
 
@@ -284,20 +295,29 @@ class GeoFormerBase(nn.Module):
     ):
         mc = self.mc
         q = mc.n_query_points
-        ctx_feats = enc2dec(context_feats, context_valid, train)  # [B,K,dec_dim]
+        ctx_feats = enc2dec(
+            context_feats, context_valid, mc.train_for("encoder_to_decoder_projection", train)
+        )  # [B,K,dec_dim]
+        if mc.is_fixed("encoder_to_decoder_projection"):
+            ctx_feats = jax.lax.stop_gradient(ctx_feats)
         query_locs = context_locs[:, :q]
         query_valid = context_valid[:, :q]
 
         query_pos = self.pos_embedding(query_locs, pc_mins, pc_maxs)
-        query_pos = self.query_projection(query_pos, query_valid, train)
+        query_pos = self.query_projection(
+            query_pos, query_valid, mc.train_for("query_projection", train)
+        )
         dec_inputs = ctx_feats[:, :q]
 
         rel_pos = self.rel_pos_tensor(
             query_locs, context_locs, geo_dist, context_inds, pc_mins, pc_maxs
         )
         dec_outputs = self.decoder(
-            dec_inputs, ctx_feats, query_pos, rel_pos, query_valid, context_valid, train
+            dec_inputs, ctx_feats, query_pos, rel_pos, query_valid, context_valid,
+            mc.train_for("decoder", train),
         )  # [L,B,Q,d]
+        if mc.is_fixed("decoder"):
+            dec_outputs = jax.lax.stop_gradient(dec_outputs)
         return dec_outputs, query_locs, query_valid
 
     # ---------------- mask head ----------------
@@ -316,7 +336,9 @@ class GeoFormerBase(nn.Module):
         for l in range(n_layers):
             x = dec_outputs[l]  # [B,Q,d]
             cls_logits = sem_head(x, query_valid, train) if sem_head is not None else None
-            params = self.controller(x, query_valid, train)  # [B,Q,num_gen]
+            params = self.controller(x, query_valid, mc.train_for("controller", train))
+            if mc.is_fixed("controller"):
+                params = jax.lax.stop_gradient(params)
             w1, b1, w2, b2 = parse_dynamic_params(params, mc.m, use_coords=True)
             mask_logits = jax.vmap(mask_heads_forward)(
                 geo_dist, mask_feats, w1, b1, w2, b2, fg_locs, query_locs

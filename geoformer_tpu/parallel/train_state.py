@@ -1,0 +1,101 @@
+"""Train state + optimizer with module freezing and per-epoch LR.
+
+The reference uses torch Adam with requires_grad freezing
+(train.py:187-198, train_fs.py:190-197); here freezing is an optax
+multi_transform that zeroes updates for frozen top-level modules, and the
+LR is injected per epoch (two-phase schedule lives in the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+# cfg.fix_module names -> our top-level param collections
+_FIX_NAME_MAP = {
+    "input_conv": ["backbone"],
+    "unet": ["backbone"],
+    "output_layer": ["backbone"],
+    "semantic": ["semantic"],
+    "semantic_linear": ["semantic"],
+    "mask_tower": ["mask_tower0", "mask_tower1", "mask_tower2", "mask_out"],
+    "controller": ["controller_head"],
+    "set_aggregator": ["set_aggregator"],
+    "pos_embedding": ["pos_embedding"],
+    "query_projection": ["query_projection"],
+    "decoder": ["decoder"],
+    "encoder_to_decoder_projection": ["encoder_to_decoder_projection"],
+    "similarity_net": ["similarity_net"],
+}
+
+
+def frozen_toplevel_names(fix_module: list[str]) -> set[str]:
+    out: set[str] = set()
+    for name in fix_module:
+        out.update(_FIX_NAME_MAP.get(name, [name]))
+    return out
+
+
+def make_optimizer(cfg, params) -> optax.GradientTransformation:
+    frozen = frozen_toplevel_names(cfg.fix_module)
+    labels = {k: ("frozen" if k in frozen else "train") for k in params}
+    if cfg.optim.lower() == "adam":
+        inner = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+    else:
+        inner = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=cfg.lr, momentum=cfg.momentum
+        )
+    return optax.multi_transform(
+        {"train": inner, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected LR in-place in the optax state pytree."""
+    return jax.tree.map(
+        lambda x: x,
+        _set_lr(opt_state, lr),
+    )
+
+
+def _set_lr(opt_state, lr):
+    if hasattr(opt_state, "inner_states"):
+        inner = dict(opt_state.inner_states)
+        st = inner["train"]
+        hp = dict(st.inner_state.hyperparams)
+        hp["learning_rate"] = jax.numpy.asarray(lr, dtype=hp["learning_rate"].dtype)
+        new_inner = st._replace(
+            inner_state=st.inner_state._replace(hyperparams=hp)
+        )
+        inner["train"] = new_inner
+        return opt_state._replace(inner_states=inner)
+    return opt_state
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: int
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+
+    def variables(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "constants": self.constants,
+        }
+
+
+def create_train_state(variables, tx) -> tuple[TrainState, optax.GradientTransformation]:
+    params = variables["params"]
+    return TrainState(
+        step=0,
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}),
+        opt_state=tx.init(params),
+    )

@@ -6,12 +6,16 @@ virtual CPU mesh per the build contract.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: env presets axon (the TPU tunnel)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU tunnel backend regardless of
+# JAX_PLATFORMS; override via config (must happen before first backend use)
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,118 @@
+"""End-to-end forward tests for GeoFormer / GeoFormerFS on tiny capacities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
+from geoformer_tpu.models.geoformer_fs import GeoFormerFS
+
+
+def synthetic_batch(rng, B, P, spatial, classes=13, n_valid=None, scale=50.0):
+    n_valid = n_valid or P
+    pts = rng.uniform(0.2, (spatial - 1) / scale - 0.2, size=(B, P, 3)).astype(np.float32)
+    coords = np.floor(pts * scale).astype(np.int32)
+    mask = np.zeros((B, P), bool)
+    mask[:, :n_valid] = True
+    labels = rng.integers(0, classes, size=(B, P)).astype(np.int32)
+    inst = rng.integers(-1, 5, size=(B, P)).astype(np.int32)
+    inst[inst < 0] = -100
+    return {
+        "points": jnp.asarray(pts),
+        "feats": jnp.asarray(rng.normal(size=(B, P, 3)).astype(np.float32)),
+        "coords": jnp.asarray(coords),
+        "point_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(np.where(mask, labels, -100)),
+        "instance_labels": jnp.asarray(np.where(mask, inst, -100)),
+        "pc_mins": jnp.asarray(pts.min(1)),
+        "pc_maxs": jnp.asarray(pts.max(1)),
+    }
+
+
+def tiny_mc(tiny_cfg, **kw):
+    mc = ModelConfig.from_cfg(tiny_cfg)
+    return mc if not kw else ModelConfig(**{**mc.__dict__, **kw})
+
+
+@pytest.fixture(scope="module")
+def rngs():
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+    return {"params": k1, "sample": k2, "dropout": k3}
+
+
+def test_geoformer_forward_shapes(tiny_cfg, rngs):
+    rng = np.random.default_rng(0)
+    mc = tiny_mc(tiny_cfg)
+    B, P = 2, tiny_cfg.tpu_max_points
+    batch = synthetic_batch(rng, B, P, mc.spatial, n_valid=400)
+    model = GeoFormer(mc)
+
+    variables = model.init(rngs, batch, train=True)
+    out, mutated = model.apply(
+        variables, batch, train=True,
+        rngs={"sample": rngs["sample"], "dropout": rngs["dropout"]},
+        mutable=["batch_stats"],
+    )
+    L, Q, F = mc.dec_nlayers, mc.n_query_points, mc.train_subsample
+    assert out["semantic_scores"].shape == (B, P, mc.classes)
+    assert out["mask_logits"].shape == (L, B, Q, F)
+    assert out["cls_logits"].shape == (L, B, Q, mc.classes)
+    assert out["fg_idx"].shape == (B, F)
+    assert np.isfinite(np.asarray(out["semantic_scores"])[np.asarray(batch["point_mask"])]).all()
+    assert "batch_stats" in mutated
+
+    # semantic-only (prepare epochs) path
+    out2 = model.apply(
+        variables, batch, train=True, semantic_only=True,
+        rngs={"sample": rngs["sample"], "dropout": rngs["dropout"]},
+        mutable=["batch_stats"],
+    )[0]
+    assert set(out2.keys()) == {"semantic_scores"}
+
+    # eval path with proposals
+    out3 = model.apply(
+        variables, batch, train=False,
+        rngs={"sample": rngs["sample"]},
+    )
+    assert out3["mask_logits"].shape == (1, B, Q, mc.max_fg_points)
+    props = out3["proposals"]
+    assert props["masks"].shape == (B, Q, P)
+    assert props["scores"].shape == (B, Q)
+
+
+def test_geoformer_fs_forward(tiny_cfg, rngs):
+    rng = np.random.default_rng(1)
+    mc = tiny_mc(tiny_cfg)
+    B, P = 2, tiny_cfg.tpu_max_points
+    query = synthetic_batch(rng, B, P, mc.spatial, n_valid=400)
+    support = synthetic_batch(rng, B, P, mc.spatial, n_valid=300)
+    support["support_masks"] = (np.asarray(support["instance_labels"]) == 2).astype(np.int32)
+
+    model = GeoFormerFS(mc)
+    variables = model.init(rngs, support, query, train=True)
+    out, _ = model.apply(
+        variables, support, query, train=True,
+        rngs={"sample": rngs["sample"], "dropout": rngs["dropout"]},
+        mutable=["batch_stats"],
+    )
+    L, Q, F = mc.dec_nlayers, mc.n_query_points, mc.train_subsample
+    assert out["mask_logits"].shape == (L, B, Q, F)
+    assert out["similarity"].shape == (B, Q)
+
+    # eval with cached scene encoding reused across supports (remember path)
+    cache = model.apply(
+        variables, query, train=False,
+        rngs={"sample": rngs["sample"]}, method=GeoFormerFS.encode_scene,
+    )
+    emb = model.apply(
+        variables, support, rngs={"sample": rngs["sample"]},
+        method=GeoFormerFS.process_support,
+    )
+    assert emb.shape == (B, 2 * mc.m)
+    dec = model.apply(
+        variables, cache, emb, query["pc_mins"], query["pc_maxs"], False,
+        rngs={"sample": rngs["sample"]}, method=GeoFormerFS.decode_with_support,
+    )
+    assert dec["mask_logits"].shape == (1, B, Q, mc.max_fg_points)
