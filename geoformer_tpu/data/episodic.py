@@ -116,7 +116,10 @@ class FSInstDataset:
                     cls = pyrng.choice(self.fold_classes)
                     query_name = pyrng.choice(self.class2scans[cls])
                     queries.append(self._query_scene(query_name, cls, rng, aug=True))
-                    while True:
+                    # bounded retry (the reference's unbounded while-True,
+                    # scannetv2_fs_inst.py:461-476, can spin forever on
+                    # datasets with only small instances)
+                    for _ in range(20):
                         sup_name, sup_inst = pyrng.choice(self.class2instances[cls])
                         sup = self._support_scene(sup_name, sup_inst, rng)
                         if sup["support_masks"].sum() > 100:

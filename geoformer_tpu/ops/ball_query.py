@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 def _ball_query_scene(centers, points, point_mask, radius, nsample, center_chunk=512):
     k_pts = points.shape[0]
+    center_chunk = min(center_chunk, centers.shape[0])
     iota = jnp.arange(k_pts, dtype=jnp.int32)
     r2 = jnp.float32(radius * radius)
 

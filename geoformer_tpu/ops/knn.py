@@ -15,8 +15,15 @@ import jax.numpy as jnp
 BIG = jnp.float32(1e30)
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
 def _knn_scene(queries, points, mask, k, query_chunk=1024, key_tile=16384):
     p = points.shape[0]
+    # clamp tiling to the input so tiny scenes don't pad to huge tiles
+    key_tile = min(key_tile, _round_up(p, 128))
+    query_chunk = min(query_chunk, _round_up(queries.shape[0], 128))
     pad_keys = (-p) % key_tile
     pts = jnp.pad(points, ((0, pad_keys), (0, 0)))
     msk = jnp.pad(mask, (0, pad_keys))

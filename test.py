@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Fully-supervised evaluation driver (reference test.py).
+
+Per scene: forward(training=False) -> class id -> benchmark label ->
+matrix NMS -> ScanNet AP vs ground truth derived from the scene labels.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from geoformer_tpu.data.scannet import BENCHMARK_SEMANTIC_LABELS, FOLD, InstDataset
+from geoformer_tpu.engine import Engine
+from geoformer_tpu.evaluation.gt import make_gt_ids
+from geoformer_tpu.evaluation.scannet_eval import ScanNetEval, print_results
+from geoformer_tpu.ops.nms import matrix_nms
+from geoformer_tpu.utils.checkpoint import load_checkpoint
+from geoformer_tpu.utils.config import config_from_args
+from geoformer_tpu.utils.logger import create_logger
+
+import jax.numpy as jnp
+
+
+def proposals_to_pred_info(cfg, proposals, n_points):
+    """Apply keep flags + matrix NMS; return host pred_info dict."""
+    masks = proposals["masks"][0]  # [Q,P]
+    scores = proposals["scores"][0]
+    classes = proposals["classes"][0]
+    keep = proposals["keep"][0]
+    fold = np.asarray(FOLD[cfg.cvfold])
+    bench = np.asarray(BENCHMARK_SEMANTIC_LABELS)
+
+    keep_nms, new_scores = matrix_nms(
+        masks, scores, classes, keep,
+        sigma=2.0, final_score_thresh=cfg.TEST_NMS_THRESH,
+    )
+    keep_np = np.asarray(keep_nms)
+    masks_np = np.asarray(masks)[keep_np][:, :n_points]
+    scores_np = np.asarray(scores)[keep_np]
+    cls_np = np.asarray(classes)[keep_np]
+    semantic_ids = bench[fold[np.clip(cls_np - 4, 0, len(fold) - 1)]]
+    return {
+        "label_id": semantic_ids,
+        "conf": scores_np,
+        "mask": masks_np.astype(np.int32),
+    }
+
+
+def main():
+    cfg = config_from_args()
+    exp_path = os.path.join(cfg.output_path, cfg.exp_name)
+    logger = create_logger(exp_path)
+    engine = Engine(cfg, few_shot=False)
+    dataset = InstDataset(cfg, cfg.split)
+    logger.info(f"eval scenes: {len(dataset)}")
+
+    ckpt = load_checkpoint(cfg.pretrain or cfg.resume)
+    variables = {
+        "params": ckpt["params"],
+        "batch_stats": ckpt["batch_stats"],
+        "constants": ckpt.get("constants", {}),
+    }
+    eval_fn = engine.eval_fn()
+    evaluator = ScanNetEval(cfg.cvfold)
+    rng = jax.random.PRNGKey(cfg.test_seed)
+
+    for i, (scene_name, batch) in enumerate(dataset.test_batches()):
+        t0 = time.time()
+        rng, sub = jax.random.split(rng)
+        out = eval_fn(variables, jax.tree.map(jnp.asarray, batch), sub)
+        n_points = int(batch["n_points"][0])
+        pred_info = proposals_to_pred_info(cfg, jax.device_get(out["proposals"]), n_points)
+        raw = np.load(dataset.file_names[i])
+        gt_ids = make_gt_ids(raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32))[:n_points]
+        evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
+        logger.info(
+            f"[{i + 1}/{len(dataset)}] {scene_name}: {n_points} pts, "
+            f"{len(pred_info['conf'])} proposals, {time.time() - t0:.2f}s"
+        )
+
+    avgs = evaluator.compute_averages()
+    print_results(avgs, logger)
+
+
+if __name__ == "__main__":
+    main()
