@@ -33,20 +33,19 @@ def augment_affine(xyz, rng, jitter=False, flip=False, rot=False):
 
 
 def elastic(x, gran, mag, rng):
-    """Elastic distortion over a blurred noise grid (scannetv2_inst.py:142-161)."""
-    blur0 = np.ones((3, 1, 1), np.float32) / 3
-    blur1 = np.ones((1, 3, 1), np.float32) / 3
-    blur2 = np.ones((1, 1, 3), np.float32) / 3
+    """Elastic distortion over a blurred noise grid (scannetv2_inst.py:142-161).
+
+    The blur + trilinear-gather hot loops run in the native C++ library
+    (geoformer_tpu/native/host_ops.cpp) when available, numpy/scipy
+    otherwise — bit-compatible semantics either way."""
+    from geoformer_tpu import native
+
     bb = np.abs(x).max(0).astype(np.int32) // gran + 3
-    noise = [rng.standard_normal(tuple(bb)).astype(np.float32) for _ in range(3)]
-    for blur in (blur0, blur1, blur2, blur0, blur1, blur2):
-        noise = [scipy.ndimage.convolve(n, blur, mode="constant", cval=0) for n in noise]
-    ax = [np.linspace(-(b - 1) * gran, (b - 1) * gran, b) for b in bb]
-    interp = [
-        scipy.interpolate.RegularGridInterpolator(ax, n, bounds_error=False, fill_value=0)
-        for n in noise
-    ]
-    g = np.stack([i(x) for i in interp], axis=1)
+    noise = np.stack(
+        [rng.standard_normal(tuple(bb)).astype(np.float32) for _ in range(3)]
+    )
+    noise = native.elastic_blur(noise)
+    g = native.trilinear_gather(noise, float(gran), x.astype(np.float32))
     return x + g * mag
 
 

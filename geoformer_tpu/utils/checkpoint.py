@@ -82,6 +82,35 @@ def align_and_update(target: dict, loaded: dict, logger=None) -> dict:
     return _unflatten(out)
 
 
+def state_payload(state, epoch: int) -> dict:
+    """Full training payload: weights + optimizer state (reference
+    checkpoint.py:90-101 saves model+optimizer+epoch)."""
+    return {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "constants": jax.device_get(state.constants),
+        "opt_state": flax.serialization.to_state_dict(jax.device_get(state.opt_state)),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+
+
+def restore_train_state(state, loaded: dict):
+    """Exact resume: weights + optimizer moments + step counter."""
+    new = state.replace(
+        params=loaded["params"],
+        batch_stats=loaded["batch_stats"],
+        step=int(loaded.get("step", 0)),
+    )
+    if "constants" in loaded and loaded["constants"]:
+        new = new.replace(constants=loaded["constants"])
+    if "opt_state" in loaded:
+        new = new.replace(
+            opt_state=flax.serialization.from_state_dict(state.opt_state, loaded["opt_state"])
+        )
+    return new
+
+
 def checkpoint_path(output_path: str, epoch: int | None = None) -> str:
     if epoch is None:
         return os.path.join(output_path, "checkpoint_last.ckpt")

@@ -68,7 +68,7 @@ _DEFAULTS = dict(
     block_reps=2,
     use_coords=True,
     # TRAIN
-    start_epoch=0,
+    start_epoch=1,
     prepare_epochs=120,
     epochs=500,
     num_workers=0,

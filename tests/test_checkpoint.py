@@ -1,5 +1,6 @@
 """Checkpoint round-trip + tolerant partial restore."""
 
+import jax
 import numpy as np
 
 from geoformer_tpu.utils.checkpoint import (
@@ -48,6 +49,42 @@ def test_find_last_checkpoint(tmp_path):
     assert find_last_checkpoint(d).endswith("checkpoint_epoch_10.ckpt")
     save_checkpoint(checkpoint_path(d), {"epoch": 11})
     assert find_last_checkpoint(d).endswith("checkpoint_last.ckpt")
+
+
+def test_opt_state_roundtrip(tmp_path, tiny_cfg):
+    """Full resume restores optimizer moments (reference saves optimizer)."""
+    import jax.numpy as jnp
+    import optax
+
+    from geoformer_tpu.parallel.train_state import TrainState, make_optimizer
+    from geoformer_tpu.utils.checkpoint import restore_train_state, state_payload
+
+    params = {"backbone": {"w": np.ones((3, 3), np.float32)}}
+    tx = make_optimizer(tiny_cfg, params)
+    state = TrainState(
+        step=0, params=params, batch_stats={}, constants={}, opt_state=tx.init(params)
+    )
+    grads = {"backbone": {"w": np.full((3, 3), 0.5, np.float32)}}
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    state = state.replace(
+        step=5,
+        params=optax.apply_updates(state.params, updates),
+        opt_state=opt_state,
+    )
+    p = str(tmp_path / "full.ckpt")
+    save_checkpoint(p, state_payload(state, epoch=3))
+    loaded = load_checkpoint(p)
+    fresh = TrainState(
+        step=0, params=params, batch_stats={}, constants={}, opt_state=tx.init(params)
+    )
+    restored = restore_train_state(fresh, loaded)
+    assert restored.step == 5
+    # Adam moments survive the round trip
+    mu0 = jax.tree_util.tree_leaves(state.opt_state)
+    mu1 = jax.tree_util.tree_leaves(restored.opt_state)
+    assert len(mu0) == len(mu1)
+    for a, b in zip(mu0, mu1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
 def test_schedulers():

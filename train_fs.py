@@ -19,7 +19,9 @@ from geoformer_tpu.utils.checkpoint import (
     checkpoint_path,
     find_last_checkpoint,
     load_checkpoint,
+    restore_train_state,
     save_checkpoint,
+    state_payload,
 )
 from geoformer_tpu.utils.config import config_from_args
 from geoformer_tpu.utils.logger import create_logger
@@ -73,18 +75,13 @@ def main():
     resume = cfg.resume or find_last_checkpoint(exp_path)
     if resume and os.path.exists(resume):
         loaded = load_checkpoint(resume)
-        state = state.replace(params=loaded["params"], batch_stats=loaded["batch_stats"])
+        state = restore_train_state(state, loaded)
         start_epoch = int(loaded.get("epoch", 0)) + 1
         logger.info(f"resumed {resume} at epoch {start_epoch}")
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         state = train_one_epoch(engine, state, dataset, epoch, logger, cfg.manual_seed)
-        payload = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "constants": jax.device_get(state.constants),
-            "epoch": epoch,
-        }
+        payload = state_payload(state, epoch)
         if epoch % cfg.save_freq == 0:
             save_checkpoint(checkpoint_path(exp_path, epoch), payload)
         save_checkpoint(checkpoint_path(exp_path), payload)
