@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Stage-by-stage compile/run timing of the flagship forward at given scale.
+
+Usage: python tools/compile_bisect.py [--points 16384] [--depth 7] ...
+Times each pipeline stage's jit compile + steady-state run on the current
+backend so compile blowups and runtime hotspots can be attributed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=16384)
+    ap.add_argument("--voxels", type=int, default=16384)
+    ap.add_argument("--fg", type=int, default=8192)
+    ap.add_argument("--depth", type=int, default=7)
+    ap.add_argument("--contexts", type=int, default=2048)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--knn", type=int, default=64)
+    ap.add_argument("--geo_steps", type=int, default=128)
+    ap.add_argument("--downsampling", type=int, default=50000)
+    ap.add_argument("--spatial", type=int, default=512)
+    ap.add_argument("--stages", type=str, default="all")
+    args = ap.parse_args()
+
+    from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
+    from geoformer_tpu.utils.config import load_config
+    from __graft_entry__ import _synthetic_batch
+
+    cfg = load_config(
+        None,
+        batch_size=1,
+        n_decode_point=args.contexts,
+        n_query_points=args.queries,
+        n_downsampling=args.downsampling,
+        tpu_max_points=args.points,
+        tpu_max_voxels=args.voxels,
+        tpu_max_fg_points=args.fg,
+        tpu_max_instances=64,
+        tpu_knn_neighbors=args.knn,
+        tpu_geodesic_steps_eval=args.geo_steps,
+        tpu_spatial_shape=args.spatial,
+        tpu_unet_depth=args.depth,
+        tpu_ball_nsample=64,
+    )
+    mc = ModelConfig.from_cfg(cfg)
+    model = GeoFormer(mc)
+    batch = _synthetic_batch(cfg, 1, seed=0)
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(k, 3)
+
+    print(f"device={jax.devices()[0]} points={args.points} depth={args.depth}")
+
+    t0 = time.perf_counter()
+    variables = model.init({"params": k1, "sample": k2, "dropout": k3}, batch, train=False)
+    print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    stages = {}
+
+    def bb(batch, rng):
+        def run(mdl):
+            return mdl.forward_backbone(batch, train=False)
+        return model.apply(variables, rngs={"sample": rng}, method=run)
+
+    def agg(batch, rng):
+        def run(mdl):
+            pf, ss, sp = mdl.forward_backbone(batch, train=False)
+            fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
+            fg_locs = jax.vmap(lambda a, i: a[i])(batch["points"], fg_idx)
+            fg_feats = jax.vmap(lambda a, i: a[i])(pf, fg_idx)
+            return mdl.forward_aggregator(fg_locs, fg_feats, fg_valid, train=False)
+        return model.apply(variables, rngs={"sample": rng}, method=run)
+
+    def geo(batch, rng):
+        def run(mdl):
+            pf, ss, sp = mdl.forward_backbone(batch, train=False)
+            fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
+            fg_locs = jax.vmap(lambda a, i: a[i])(batch["points"], fg_idx)
+            fg_feats = jax.vmap(lambda a, i: a[i])(pf, fg_idx)
+            cl, cf, ci, cv = mdl.forward_aggregator(fg_locs, fg_feats, fg_valid, train=False)
+            return mdl.forward_geodesic(fg_locs, fg_valid, ci, cv, train=False)
+        return model.apply(variables, rngs={"sample": rng}, method=run)
+
+    def full(batch, rng):
+        out = model.apply(variables, batch, train=False, rngs={"sample": rng})
+        return out["mask_logits"]
+
+    stages = {"backbone": bb, "aggregator": agg, "geodesic": geo, "full": full}
+    want = args.stages.split(",") if args.stages != "all" else list(stages)
+
+    r = jax.random.PRNGKey(1)
+    for name in want:
+        fn = jax.jit(stages[name])
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(batch, r))
+        t_compile = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(batch, r))
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:12s} compile+1st={t_compile:8.1f}s  run={np.median(ts) * 1000:9.1f}ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
