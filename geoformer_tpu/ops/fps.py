@@ -42,5 +42,13 @@ def furthest_point_sample(points: jax.Array, mask: jax.Array, n_samples: int):
 
     If a scene has fewer than n_samples valid points the tail indices repeat
     already-picked points; `valid` marks the genuine prefix.
+
+    On TPU this dispatches to the single-kernel Pallas implementation
+    (ops/fps_pallas.py — VMEM-resident loop, no per-pick HBM traffic); the
+    XLA fori_loop below is the portable reference path.
     """
+    if jax.default_backend() == "tpu":
+        from geoformer_tpu.ops.fps_pallas import fps_pallas
+
+        return fps_pallas(points, mask, n_samples)
     return jax.vmap(lambda pts, m: _fps_scene(pts, m, n_samples))(points, mask)

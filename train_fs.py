@@ -26,9 +26,10 @@ from geoformer_tpu.utils.checkpoint import (
 from geoformer_tpu.utils.config import config_from_args
 from geoformer_tpu.utils.logger import create_logger
 from geoformer_tpu.utils.meters import AverageMeter, DictAverageMeter
+from geoformer_tpu.utils.tracking import ScalarWriter, device_memory_stats
 
 
-def train_one_epoch(engine, state, dataset, epoch, logger, rng_seed):
+def train_one_epoch(engine, state, dataset, epoch, logger, rng_seed, writer=None):
     cfg = engine.cfg
     iter_meter = AverageMeter()
     loss_meter = DictAverageMeter()
@@ -43,11 +44,17 @@ def train_one_epoch(engine, state, dataset, epoch, logger, rng_seed):
         iter_meter.update(time.time() - end)
         end = time.time()
         if it % 10 == 0:
+            mem = device_memory_stats().get("peak_bytes_in_use", 0)
             logger.info(
                 f"epoch {epoch}/{cfg.epochs} iter {it + 1} lr {lr:.6f} "
-                f"loss {float(loss):.4f} iter {iter_meter.avg:.3f}s"
+                f"loss {float(loss):.4f} iter {iter_meter.avg:.3f}s "
+                f"mem {mem / 2**30:.2f}GiB"
             )
-    logger.info(f"epoch {epoch} done: " + str({k: round(v, 4) for k, v in loss_meter.averages().items()}))
+    avgs = loss_meter.averages()
+    logger.info(f"epoch {epoch} done: " + str({k: round(v, 4) for k, v in avgs.items()}))
+    if writer is not None:
+        writer.add_scalars(avgs, epoch, prefix="train_fs/")
+        writer.add_scalar("train_fs/lr", lr, epoch)
     return state
 
 
@@ -55,6 +62,7 @@ def main():
     cfg = config_from_args()
     exp_path = os.path.join(cfg.output_path, cfg.exp_name)
     logger = create_logger(exp_path)
+    writer = ScalarWriter(exp_path)
     np.random.seed(cfg.manual_seed)
 
     engine = Engine(cfg, few_shot=True)
@@ -80,7 +88,7 @@ def main():
         logger.info(f"resumed {resume} at epoch {start_epoch}")
 
     for epoch in range(start_epoch, cfg.epochs + 1):
-        state = train_one_epoch(engine, state, dataset, epoch, logger, cfg.manual_seed)
+        state = train_one_epoch(engine, state, dataset, epoch, logger, cfg.manual_seed, writer)
         payload = state_payload(state, epoch)
         if epoch % cfg.save_freq == 0:
             save_checkpoint(checkpoint_path(exp_path, epoch), payload)
