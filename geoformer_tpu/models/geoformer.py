@@ -70,6 +70,10 @@ class ModelConfig:
     test_score_thresh: float = 0.5
     test_npoint_thresh: int = 100
     similarity_thresh: float = 0.5
+    # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
+    bf16: bool = False
+    # jax.checkpoint residual blocks during training (memory for FLOPs)
+    remat: bool = False
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
     # off, and outputs are stop_gradient'ed (matches requires_grad=False +
     # .eval() + no_grad contexts, geoformer.py:167-184,531,552)
@@ -121,6 +125,8 @@ class ModelConfig:
             ball_nsample=cfg.tpu_ball_nsample,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
+            bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
+            remat=cfg.tpu_remat,
         )
 
 
@@ -152,7 +158,11 @@ class GeoFormerBase(nn.Module):
 
     def setup(self):
         mc = self.mc
-        self.backbone = SparseUNetBackbone(mc.m, mc.classes, mc.depth, name="backbone")
+        self.backbone = SparseUNetBackbone(
+            mc.m, mc.classes, mc.depth,
+            compute_dtype=jnp.bfloat16 if mc.bf16 else None,
+            remat=mc.remat, name="backbone",
+        )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [
             MLPConvBlock(mc.m, name=f"mask_tower{i}") for i in range(3)

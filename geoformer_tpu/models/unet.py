@@ -31,6 +31,7 @@ class ResidualBlock(nn.Module):
 
     in_channels: int
     out_channels: int
+    compute_dtype: object = None  # bf16 halves gather traffic, fp32 accum
 
     @nn.compact
     def __call__(self, feats, nbr, vmask, train: bool):
@@ -45,10 +46,12 @@ class ResidualBlock(nn.Module):
             identity = dense_1x1(feats, wi)
         x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
         x = nn.relu(x)
-        x = subm_conv(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels))
+        x = subm_conv(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels),
+                      compute_dtype=self.compute_dtype)
         x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
         x = nn.relu(x)
-        x = subm_conv(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels))
+        x = subm_conv(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels),
+                      compute_dtype=self.compute_dtype)
         x = x + identity
         return jnp.where(vmask[..., None], x, 0.0)
 
@@ -96,6 +99,8 @@ class UBlock(nn.Module):
     block_reps: int = 2
     use_backbone_transformer: bool = True
     level: int = 0
+    compute_dtype: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
@@ -103,11 +108,19 @@ class UBlock(nn.Module):
         nbr = plan.subm[lvl]
         vmask = plan.grids[lvl].voxel_mask
         c0 = self.n_planes[0]
+        # rematerialize residual blocks during training to trade FLOPs for
+        # HBM (jax.checkpoint; reference has no analog — torch keeps all
+        # activations and OOM-guards with empty_cache, train.py:49)
+        Block = (
+            nn.remat(ResidualBlock, static_argnums=(4,))  # `train` flag is static
+            if (self.remat and train)
+            else ResidualBlock
+        )
 
         x = feats
         for i in range(self.block_reps):
             cin = x.shape[-1] if i == 0 else c0
-            x = ResidualBlock(cin, c0, name=f"block{i}")(x, nbr, vmask, train)
+            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, nbr, vmask, train)
 
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
@@ -118,12 +131,14 @@ class UBlock(nn.Module):
             wd = self.param(
                 "conv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c0, c1)
             )
-            d = down_conv(d, plan.links[lvl], wd)
+            d = down_conv(d, plan.links[lvl], wd, compute_dtype=self.compute_dtype)
             d = UBlock(
                 self.n_planes[1:],
                 self.block_reps,
                 self.use_backbone_transformer,
                 level=lvl + 1,
+                compute_dtype=self.compute_dtype,
+                remat=self.remat,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -132,13 +147,13 @@ class UBlock(nn.Module):
             wu = self.param(
                 "deconv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c1, c0)
             )
-            u = up_conv(u, plan.links[lvl], wu)
+            u = up_conv(u, plan.links[lvl], wu, compute_dtype=self.compute_dtype)
             u = jnp.where(vmask[..., None], u, 0.0)
 
             x = jnp.concatenate([identity, u], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
-                x = ResidualBlock(cin, c0, name=f"block_tail{i}")(x, nbr, vmask, train)
+                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, nbr, vmask, train)
 
         if len(self.n_planes) <= 2 and self.use_backbone_transformer:
             d_model = 128
@@ -159,6 +174,8 @@ class SparseUNetBackbone(nn.Module):
     classes: int
     depth: int = 7
     block_reps: int = 2
+    compute_dtype: object = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -168,11 +185,13 @@ class SparseUNetBackbone(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, voxel_feats.shape[-1], self.m),
         )
-        x = subm_conv(voxel_feats, plan.subm[0], w_in)
+        x = subm_conv(voxel_feats, plan.subm[0], w_in, compute_dtype=self.compute_dtype)
         x = jnp.where(vmask0[..., None], x, 0.0)
 
         planes = [self.m * (i + 1) for i in range(self.depth)]
-        x = UBlock(planes, self.block_reps, True, level=0, name="unet")(x, plan, train)
+        x = UBlock(planes, self.block_reps, True, level=0,
+                   compute_dtype=self.compute_dtype, remat=self.remat,
+                   name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)

@@ -83,9 +83,17 @@ def _pad_zero_row(feats: jax.Array) -> jax.Array:
     return jnp.concatenate([feats, jnp.zeros((b, 1, c), feats.dtype)], axis=1)
 
 
-def subm_conv(feats: jax.Array, nbr: jax.Array, w: jax.Array, precision=None) -> jax.Array:
-    """Submanifold conv. feats [B,V,Cin], nbr [B,V,K], w [K,Cin,Cout]."""
+def subm_conv(feats: jax.Array, nbr: jax.Array, w: jax.Array, precision=None,
+              compute_dtype=None) -> jax.Array:
+    """Submanifold conv. feats [B,V,Cin], nbr [B,V,K], w [K,Cin,Cout].
+
+    compute_dtype=bf16 casts features *before* the neighbor gather (the
+    HBM-bound part — halves gather traffic) and weights before the GEMM;
+    accumulation stays fp32 via preferred_element_type."""
     k, cin, cout = w.shape
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     fpad = _pad_zero_row(feats)
     # chunk offsets so the gathered buffer stays bounded and the GEMM's
     # contracting dim is >= 128 where possible (MXU-friendly)
@@ -113,8 +121,12 @@ def dense_1x1(feats: jax.Array, w: jax.Array, precision=None) -> jax.Array:
     )
 
 
-def _offset_gemm(feats: jax.Array, offset_idx: jax.Array, w: jax.Array, precision=None) -> jax.Array:
+def _offset_gemm(feats: jax.Array, offset_idx: jax.Array, w: jax.Array, precision=None,
+                 compute_dtype=None) -> jax.Array:
     """out[v] = feats[v] @ w[offset_idx[v]] via 8 masked GEMMs."""
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jnp.zeros(feats.shape[:-1] + (w.shape[-1],), jnp.float32)
     for k in range(w.shape[0]):
         sel = (offset_idx == k).astype(feats.dtype)[..., None]
@@ -125,10 +137,11 @@ def _offset_gemm(feats: jax.Array, offset_idx: jax.Array, w: jax.Array, precisio
     return out
 
 
-def down_conv(feats: jax.Array, link: DownLink, w: jax.Array, precision=None) -> jax.Array:
+def down_conv(feats: jax.Array, link: DownLink, w: jax.Array, precision=None,
+              compute_dtype=None) -> jax.Array:
     """Strided k=2 s=2 conv: child feats [B,Vc,Cin] -> parent [B,Vp,Cout]."""
     vp = link.parent_grid.voxel_keys.shape[1]
-    transformed = _offset_gemm(feats, link.offset_idx, w, precision)  # [B,Vc,Cout]
+    transformed = _offset_gemm(feats, link.offset_idx, w, precision, compute_dtype)  # [B,Vc,Cout]
 
     def scene(t, parent):
         return jnp.zeros((vp + 1, t.shape[-1]), t.dtype).at[parent].add(t)[:vp]
@@ -136,11 +149,14 @@ def down_conv(feats: jax.Array, link: DownLink, w: jax.Array, precision=None) ->
     return jax.vmap(scene)(transformed, link.parent)
 
 
-def up_conv(parent_feats: jax.Array, link: DownLink, w: jax.Array, precision=None) -> jax.Array:
+def up_conv(parent_feats: jax.Array, link: DownLink, w: jax.Array, precision=None,
+            compute_dtype=None) -> jax.Array:
     """Inverse k=2 conv: parent feats [B,Vp,Cin] -> child [B,Vc,Cout]."""
+    if compute_dtype is not None:
+        parent_feats = parent_feats.astype(compute_dtype)
     fpad = _pad_zero_row(parent_feats)
     gathered = jax.vmap(lambda f, i: f[i])(fpad, link.parent)  # [B,Vc,Cin]
-    return _offset_gemm(gathered, link.offset_idx, w, precision)
+    return _offset_gemm(gathered, link.offset_idx, w, precision, compute_dtype)
 
 
 class GridPlan(NamedTuple):

@@ -98,6 +98,8 @@ _DEFAULTS = dict(
     save_cluster=False,
     save_fg=False,
     # --- TPU static-shape capacities (ours; no reference equivalent) ---
+    tpu_bf16=False,
+    tpu_remat=False,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
     tpu_voxel_decay=0.5,        # V_{l+1} = ceil(V_l * decay) (clamped to >= 64)
