@@ -120,6 +120,37 @@ class MultiHeadSelfAttention(nn.Module):
         return nn.Dense(self.d_model, name="out")(out)
 
 
+class MultiHeadAttention(nn.Module):
+    """Cross-attention with decoupled key/value dims (reference
+    model/attention.py:32-404 — a torch-MHA fork supporting kdim/vdim and
+    optional no-in-projection; dead code in the shipped model but part of
+    its public surface). q [B,Nq,dq], k [B,Nk,kdim], v [B,Nk,vdim]."""
+
+    d_model: int
+    nhead: int
+    kdim: int | None = None
+    vdim: int | None = None
+    dropout: float = 0.0
+    use_in_proj: bool = True
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, mask, train: bool):
+        d_head = self.d_model // self.nhead
+        if self.use_in_proj:
+            q = nn.DenseGeneral((self.nhead, d_head), axis=-1, name="q")(q_in)
+            k = nn.DenseGeneral((self.nhead, d_head), axis=-1, name="k")(k_in)
+            v = nn.DenseGeneral((self.nhead, d_head), axis=-1, name="v")(v_in)
+        else:
+            reshape = lambda x: x.reshape(x.shape[:-1] + (self.nhead, d_head))
+            q, k, v = reshape(q_in), reshape(k_in), reshape(v_in)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d_head).astype(q.dtype)
+        attn = masked_softmax(logits, mask[:, None, None, :], axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(out.shape[:-2] + (self.d_model,))
+        return nn.Dense(self.d_model, name="out")(out)
+
+
 class SimpleNorm(nn.Module):
     """The backbone bottleneck's hand-rolled Norm (model/helper.py:64-76):
     (x - mean) / (std + eps) with *unbiased* std, learnable alpha/bias."""

@@ -47,3 +47,32 @@ def matrix_nms(masks, scores, categories, valid, sigma=2.0, final_score_thresh=0
     # un-sort back to input order
     inv = jnp.argsort(order)
     return keep_sorted[inv], (new_scores)[inv]
+
+
+def greedy_nms(masks, scores, valid, iou_thresh=0.3):
+    """Classic greedy NMS (reference non_max_suppression,
+    util/utils_3d.py:76-93): walk proposals by descending score, suppress
+    any later proposal whose IoU with a kept one exceeds iou_thresh.
+
+    masks [Q,P], scores [Q], valid [Q] -> keep [Q] bool (input order).
+    Sequential by nature; Q is small (<=256) so the fori_loop is cheap.
+    """
+    q = scores.shape[0]
+    scores = jnp.where(valid, scores, -1.0)
+    order = jnp.argsort(-scores)
+    m = masks[order].astype(jnp.float32)
+    v = valid[order]
+
+    inter = jnp.einsum("nc,mc->nm", m, m)
+    areas = jnp.sum(m, axis=1)
+    union = areas[:, None] + areas[None, :] - inter
+    ious = inter / jnp.maximum(union, 1e-6)
+
+    def body(i, keep):
+        alive = keep[i] & v[i]
+        suppress = (ious[i] > iou_thresh) & (jnp.arange(q) > i) & alive
+        return keep & ~suppress
+
+    keep_sorted = jax.lax.fori_loop(0, q, body, v)
+    inv = jnp.argsort(order)
+    return keep_sorted[inv]

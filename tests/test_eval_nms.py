@@ -117,3 +117,33 @@ def test_average_over_runs():
     np.testing.assert_allclose(out["all_ap"], 0.6)
     np.testing.assert_allclose(out["all_ap_std"], 0.1)
     np.testing.assert_allclose(out["classes"]["chair"]["ap50%"], 0.7)
+
+
+def test_greedy_nms():
+    import jax.numpy as jnp
+    from geoformer_tpu.ops.nms import greedy_nms
+
+    masks = np.zeros((3, 50), np.float32)
+    masks[0, :30] = 1
+    masks[1, :28] = 1  # heavy overlap with 0, lower score -> suppressed
+    masks[2, 40:] = 1  # disjoint -> kept
+    scores = jnp.asarray([0.9, 0.8, 0.5])
+    valid = jnp.asarray([True, True, True])
+    keep = np.asarray(greedy_nms(jnp.asarray(masks), scores, valid, iou_thresh=0.3))
+    np.testing.assert_array_equal(keep, [True, False, True])
+
+
+def test_decoupled_mha_shapes():
+    import jax
+    import jax.numpy as jnp
+    from geoformer_tpu.models.blocks import MultiHeadAttention
+
+    mha = MultiHeadAttention(d_model=16, nhead=4, kdim=8, vdim=12)
+    q = jnp.ones((2, 5, 16))
+    k = jnp.ones((2, 7, 8))
+    v = jnp.ones((2, 7, 12))
+    mask = jnp.ones((2, 7), bool)
+    vars_ = mha.init(jax.random.PRNGKey(0), q, k, v, mask, False)
+    out = mha.apply(vars_, q, k, v, mask, False)
+    assert out.shape == (2, 5, 16)
+    assert np.isfinite(np.asarray(out)).all()
