@@ -50,6 +50,26 @@ def proposals_to_pred_info(cfg, proposals, n_points):
     }
 
 
+def save_benchmark_predictions(out_dir, scene_name, pred_info):
+    """ScanNet benchmark submission format: <scene>.txt listing
+    `predicted_masks/<scene>_NNN.txt label_id conf` + one 0/1 mask file per
+    proposal (the format the reference's saved pred_info feeds,
+    util/eval.py `load_ids` / docs of the ScanNet benchmark)."""
+    mask_dir = os.path.join(out_dir, "predicted_masks")
+    os.makedirs(mask_dir, exist_ok=True)
+    lines = []
+    for i in range(len(pred_info["conf"])):
+        rel = f"predicted_masks/{scene_name}_{i:03d}.txt"
+        np.savetxt(
+            os.path.join(out_dir, rel),
+            pred_info["mask"][i].astype(np.int32),
+            fmt="%d",
+        )
+        lines.append(f"{rel} {int(pred_info['label_id'][i])} {pred_info['conf'][i]:.4f}")
+    with open(os.path.join(out_dir, f"{scene_name}.txt"), "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+
+
 def main():
     cfg = config_from_args()
     exp_path = os.path.join(cfg.output_path, cfg.exp_name)
@@ -57,6 +77,7 @@ def main():
     engine = Engine(cfg, few_shot=False)
     dataset = InstDataset(cfg, cfg.split)
     logger.info(f"eval scenes: {len(dataset)}")
+    save_dir = os.path.join(exp_path, "result") if (cfg.save_instance or cfg.save_semantic) else None
 
     ckpt = load_checkpoint(cfg.pretrain or cfg.resume)
     variables = {
@@ -77,6 +98,17 @@ def main():
         raw = np.load(dataset.file_names[i])
         gt_ids = make_gt_ids(raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32))[:n_points]
         evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
+        if save_dir is not None:
+            if cfg.save_instance:
+                save_benchmark_predictions(save_dir, scene_name, pred_info)
+            if cfg.save_semantic:
+                from geoformer_tpu.utils.visualize import export_scene_predictions
+
+                sem = np.asarray(jax.device_get(out["semantic_scores"]))[0, :n_points].argmax(-1)
+                export_scene_predictions(
+                    save_dir, scene_name, raw[:n_points, :3], sem,
+                    pred_info["mask"].astype(bool),
+                )
         logger.info(
             f"[{i + 1}/{len(dataset)}] {scene_name}: {n_points} pts, "
             f"{len(pred_info['conf'])} proposals, {time.time() - t0:.2f}s"
