@@ -4,16 +4,20 @@ Replaces the reference's dynamic-shape frontier BFS
 (model/geoformer/geodesic_utils.py:91-164, FAISS + per-step torch.unique).
 That BFS approximates geodesics (first-visit distance, visited-dedup); we
 compute *true* shortest paths on the same radius-gated kNN graph with a
-fixed-shape Bellman-Ford relaxation:
+fixed-shape relaxation:
 
     dist[p, q] = min(dist[p, q], min_k dist[nbr[p, k], q] + w[p, k])
 
 laid out [P, Q] so the Q=128 query axis rides the TPU lane dimension.
-Each iteration relaxes both edge directions (gather for in-edges from p's
-own kNN list, scatter-min for out-edges), i.e. the symmetrized graph; the
-reference expands out-edges only. Unreached points keep -1, the sentinel
-both the decoder (geoformer.py:630-641) and the mask head
-(geoformer.py:296-311) rely on.
+
+The kNN table is **symmetrized once up front** (reverse edges bucketed by
+destination with a single sort) so every relaxation round is gather-only —
+no scatter-min, which serializes on colliding indices on TPU. Rounds run
+Gauss-Seidel over edge slots (each slot's update is visible to the next),
+under a `while_loop` that exits as soon as a round changes nothing — the
+shape-static analog of the reference's frontier-empty termination.
+Unreached points keep -1, the sentinel both the decoder
+(geoformer.py:630-641) and the mask head (geoformer.py:296-311) rely on.
 """
 
 from __future__ import annotations
@@ -24,7 +28,47 @@ import jax.numpy as jnp
 INF = jnp.float32(3e38)
 
 
-def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps):
+def symmetrize_graph(nbr_idx: jax.Array, w: jax.Array, rev_slots: int | None = None):
+    """Append reverse edges to a forward kNN table.
+
+    nbr_idx [P,K] int32 (dead edges -> P), w [P,K] f32 (dead -> INF) ->
+    (nbr2 [P,K+R], w2 [P,K+R]). Reverse edges are grouped by destination via
+    one argsort; destinations with more than R in-edges drop the overflow
+    (those edges still exist in the forward direction, so connectivity is
+    preserved — only a relaxation shortcut is lost).
+    """
+    p, k = nbr_idx.shape
+    r = rev_slots or k
+    dst = nbr_idx.reshape(-1)
+    src = jnp.repeat(jnp.arange(p, dtype=jnp.int32), k)
+    wf = w.reshape(-1)
+    dst = jnp.where(wf < INF, dst, p)
+
+    order = jnp.argsort(dst)
+    sdst = dst[order]
+    ssrc = src[order]
+    sw = wf[order]
+    # within-destination rank (sdst sorted: rank = position - segment start)
+    starts = jnp.searchsorted(sdst, jnp.arange(p + 1, dtype=jnp.int32))
+    rank = jnp.arange(p * k, dtype=jnp.int32) - starts[jnp.minimum(sdst, p)]
+
+    ok = (sdst < p) & (rank < r)
+    slot = jnp.where(ok, sdst * r + rank, p * r)
+    rev_i = jnp.full((p * r + 1,), p, jnp.int32).at[slot].set(
+        jnp.where(ok, ssrc, p)
+    )[: p * r].reshape(p, r)
+    rev_w = jnp.full((p * r + 1,), INF, jnp.float32).at[slot].set(
+        jnp.where(ok, sw, INF)
+    )[: p * r].reshape(p, r)
+
+    return (
+        jnp.concatenate([nbr_idx, rev_i], axis=1),
+        jnp.concatenate([w, rev_w], axis=1),
+    )
+
+
+def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
+                    rev_slots=None):
     p, k = nbr_idx.shape
     q = seeds.shape[0]
 
@@ -35,6 +79,8 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     )  # [P,K] edge weights; radius-gated like the reference, dead for pad points
     nb = jnp.clip(nbr_idx, 0, p - 1)
     nb = jnp.where(w < INF, nb, p)  # dead edges point at the pad row
+    nb2, w2 = symmetrize_graph(nb, w, rev_slots)
+    k2 = nb2.shape[1]
 
     # dist [P+1, Q]; row P is a +inf pad sink
     dist = jnp.full((p + 1, q), INF, jnp.float32)
@@ -47,15 +93,12 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
         prev = dist
 
         def slot(kk, d):
-            nbk = nb[:, kk]  # [P]
-            wk = w[:, kk]  # [P]
-            cand = d[nbk] + wk[:, None]  # in-edge relax
-            d = d.at[:p].set(jnp.minimum(d[:p], cand))
-            out_cand = d[:p] + wk[:, None]  # out-edge relax
-            d = d.at[nbk].min(jnp.where(wk[:, None] < INF, out_cand, INF))
-            return d
+            nbk = nb2[:, kk]  # [P]
+            wk = w2[:, kk]  # [P]
+            cand = d[nbk] + wk[:, None]
+            return d.at[:p].set(jnp.minimum(d[:p], cand))
 
-        dist = jax.lax.fori_loop(0, k, slot, dist)
+        dist = jax.lax.fori_loop(0, k2, slot, dist)
         changed = jnp.any(dist < prev)
         return dist, changed, it + 1
 
@@ -69,7 +112,8 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     return jnp.where(reached, dist, -1.0)
 
 
-def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps):
+def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
+                      rev_slots=None):
     """Multi-source geodesics over a kNN graph.
 
     nbr_idx  [B,P,K] int32 neighbor indices (self column already dropped)
@@ -79,7 +123,13 @@ def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n
     -> geo_dist [B,P,Q] float32, -1 where unreached (reference convention;
        note the reference returns [Q,P] per scene — we keep P-major so Q sits
        on the lane axis).
+
+    rev_slots caps the per-node reverse-edge bucket (default K). Nodes whose
+    in-degree exceeds it lose the overflow shortcuts — negligible on dense
+    scans (the reference's frontier BFS is itself approximate); pass
+    rev_slots=P for the exact symmetric closure on small graphs.
     """
     return jax.vmap(
-        lambda ni, nd, s, sm, pm: _geodesic_scene(ni, nd, s, sm, pm, radius, n_steps)
+        lambda ni, nd, s, sm, pm: _geodesic_scene(ni, nd, s, sm, pm, radius, n_steps,
+                                                  rev_slots)
     )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask)

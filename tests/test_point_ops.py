@@ -104,9 +104,19 @@ def test_geodesic_matches_dijkstra():
     geo = geodesic_distance(
         jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
         jnp.asarray(seeds[None]), jnp.asarray(seed_mask[None]),
-        jnp.asarray(mask[None]), R, 64,
+        jnp.asarray(mask[None]), R, 64, rev_slots=P,  # exact symmetric closure
     )
     geo = np.asarray(geo[0])  # [P, Q]
+    # default reverse-edge cap: distances can only grow (dropped shortcuts),
+    # and only slightly on this graph
+    geo_capped = np.asarray(geodesic_distance(
+        jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+        jnp.asarray(seeds[None]), jnp.asarray(seed_mask[None]),
+        jnp.asarray(mask[None]), R, 64,
+    )[0])
+    both = (geo >= 0) & (geo_capped >= 0)
+    assert np.all(geo_capped[both] >= geo[both] - 1e-5)
+    assert np.abs(geo_capped[both] - geo[both]).max() < 0.25
 
     # scipy reference on the symmetrized radius-gated kNN graph
     rows, cols, vals = [], [], []
