@@ -83,10 +83,13 @@ def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_lo
     """
     rel = query_locs[:, None, :] - coords[None, :, :]  # [Q,P,3]
     rel = geodesic_corrected_coords(rel, geo_dist)
-    q = w1.shape[0]
-    x = jnp.concatenate(
-        [rel, jnp.broadcast_to(mask_features[None], (q,) + mask_features.shape)], axis=-1
-    )  # [Q,P,c_in]
-    h = jnp.einsum("qpc,qmc->qpm", x, w1) + b1[:, None, :]
+    # split the first layer over its [rel | mask_features] input instead of
+    # materializing the concatenated [Q,P,c_in] buffer (2.5GB at eval scale):
+    # the feature term is Q batched [P,m]@[m,m] GEMMs, the coord term is tiny
+    h = (
+        jnp.einsum("qpc,qmc->qpm", rel, w1[..., :3])
+        + jnp.einsum("pf,qmf->qpm", mask_features, w1[..., 3:])
+        + b1[:, None, :]
+    )
     h = jax.nn.relu(h)
     return jnp.einsum("qpm,qm->qp", h, w2) + b2[:, None]
