@@ -97,7 +97,22 @@ def main():
         # full point mask for scatter target size; stored on first encode
         return cache["_point_mask"]
 
-    support_embeddings = load_set_support(engine, variables, dataset, logger)
+    @jax.jit
+    def embed_support(batch, r):
+        return model.apply(
+            variables, batch, rngs={"sample": r}, method=GeoFormerFS.process_support
+        )
+
+    if cfg.fix_support:
+        # frozen 10-set support pickles (reference fix_support path,
+        # test_fs.py:33-118)
+        support_embeddings = load_set_support(engine, variables, dataset, logger)
+        combs = None
+    else:
+        # per-scene frozen supports from test_combinations (reference
+        # test_fs.py:157-174 non-fixed path); same support for every run
+        support_embeddings = None
+        combs = dataset.load_test_combinations()
 
     evaluators = [ScanNetEval(cfg.cvfold) for _ in range(cfg.run_num)]
     bench = np.asarray(BENCHMARK_SEMANTIC_LABELS)
@@ -117,8 +132,18 @@ def main():
             cache = encode(batch, sub)
             cache["_point_mask"] = batch["point_mask"]
             n_points = int(batch["n_points"][0])
+            scene_emb = None
+            if support_embeddings is None:
+                sup_scene, sup_inst = combs[scene_name][cls]
+                sup_batch = dataset.support_batch(sup_scene, int(sup_inst))
+                rng, sub2 = jax.random.split(rng)
+                scene_emb = embed_support(jax.tree.map(jnp.asarray, sup_batch), sub2)
             for run_i in range(cfg.run_num):
-                emb = jnp.asarray(support_embeddings[run_i][cls][None])
+                emb = (
+                    scene_emb
+                    if scene_emb is not None
+                    else jnp.asarray(support_embeddings[run_i][cls][None])
+                )
                 props = jax.device_get(
                     decode(cache, emb, batch["pc_mins"], batch["pc_maxs"])
                 )
