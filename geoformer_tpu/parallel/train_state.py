@@ -43,10 +43,19 @@ def make_optimizer(cfg, params) -> optax.GradientTransformation:
     frozen = frozen_toplevel_names(cfg.fix_module)
     labels = {k: ("frozen" if k in frozen else "train") for k in params}
     if cfg.optim.lower() == "adam":
+        # reference: optim.Adam(trainable, lr) — no weight decay (train.py:191)
         inner = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
     else:
-        inner = optax.inject_hyperparams(optax.sgd)(
-            learning_rate=cfg.lr, momentum=cfg.momentum
+        # reference: optim.SGD(trainable, lr, momentum, weight_decay)
+        # (train.py:192-197)
+        def sgd_wd(learning_rate, momentum, weight_decay):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.sgd(learning_rate, momentum=momentum),
+            )
+
+        inner = optax.inject_hyperparams(sgd_wd)(
+            learning_rate=cfg.lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay
         )
     return optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels

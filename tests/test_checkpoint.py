@@ -99,3 +99,17 @@ def test_schedulers():
 
     assert cosine_lr_after_step(1e-3, 5, 10, 100) == 1e-3
     assert cosine_lr_after_step(1e-3, 50, 10, 100) < 1e-3
+
+
+def test_sgd_weight_decay_and_lr_injection(tiny_cfg):
+    """Reference SGD carries weight_decay (train.py:192-197); LR is injected
+    per epoch through the optax hyperparams."""
+    from geoformer_tpu.parallel.train_state import _set_lr, make_optimizer
+
+    cfg = tiny_cfg.replace(optim="SGD", lr=0.1, momentum=0.9, weight_decay=1e-4)
+    params = {"backbone": {"w": np.ones(3, np.float32)}}
+    tx = make_optimizer(cfg, params)
+    st = _set_lr(tx.init(params), 0.05)
+    grads = {"backbone": {"w": np.ones(3, np.float32)}}
+    ups, _ = tx.update(grads, st, params)
+    np.testing.assert_allclose(np.asarray(ups["backbone"]["w"]), -0.05 * (1 + 1e-4), rtol=1e-6)
