@@ -6,48 +6,61 @@ Prints ONE JSON line:
    "scenes/sec", "vs_baseline": <ratio>, ...}
 
 The workload mirrors the fully-supervised eval config (test.py, bs=1):
-synthetic ScanNet-scale scene (dense room-like cloud), full pipeline
-voxelize -> U-Net -> aggregator -> kNN+geodesic -> decoder -> dynamic conv
--> proposals. `vs_baseline` is measured against REFERENCE_SCENES_PER_SEC,
-an estimate of the PyTorch reference's per-scene rate on its GPU (the repo
-publishes no numbers — see BASELINE.md); update it when a measured
-baseline exists.
+synthetic ScanNet-scale scene, full pipeline voxelize -> U-Net ->
+aggregator -> kNN+geodesic -> decoder -> dynamic conv -> proposals.
+`vs_baseline` is measured against REFERENCE_SCENES_PER_SEC, an estimate of
+the PyTorch reference's per-scene rate on its GPU (the repo publishes no
+numbers — see BASELINE.md); update it when a measured baseline exists.
+
+Robustness: the measurement runs in a watchdogged subprocess (the TPU
+tunnel in this environment can stall mid-compile); on timeout it retries at
+a reduced scale and reports which scale produced the number.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_SCENES_PER_SEC = 2.5  # estimated reference per-scene rate (BASELINE.md TBD)
 
+SCALES = {
+    # production-shaped eval scene (one chip)
+    "full": dict(
+        n_decode_point=2048, n_query_points=256, n_downsampling=50000,
+        tpu_max_points=65536, tpu_max_voxels=65536, tpu_max_fg_points=32768,
+        tpu_knn_neighbors=64, tpu_geodesic_steps_eval=128, tpu_spatial_shape=512,
+        tpu_unet_depth=7, tpu_ball_nsample=64,
+    ),
+    "half": dict(
+        n_decode_point=1024, n_query_points=128, n_downsampling=16384,
+        tpu_max_points=32768, tpu_max_voxels=32768, tpu_max_fg_points=16384,
+        tpu_knn_neighbors=32, tpu_geodesic_steps_eval=64, tpu_spatial_shape=512,
+        tpu_unet_depth=7, tpu_ball_nsample=32,
+    ),
+    "small": dict(
+        n_decode_point=256, n_query_points=64, n_downsampling=4096,
+        tpu_max_points=8192, tpu_max_voxels=8192, tpu_max_fg_points=4096,
+        tpu_knn_neighbors=16, tpu_geodesic_steps_eval=32, tpu_spatial_shape=512,
+        tpu_unet_depth=5, tpu_ball_nsample=16,
+    ),
+}
+TIMEOUTS = {"full": 2400, "half": 1500, "small": 900}
 
-def main():
+
+def measure(scale: str):
     import jax
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
     from geoformer_tpu.utils.config import load_config
     from __graft_entry__ import _synthetic_batch
 
-    # production-shaped eval scene (bounded for one chip)
-    cfg = load_config(
-        None,
-        batch_size=1,
-        n_decode_point=2048,
-        n_query_points=256,
-        n_downsampling=50000,
-        tpu_max_points=65536,
-        tpu_max_voxels=65536,
-        tpu_max_fg_points=32768,
-        tpu_max_instances=64,
-        tpu_knn_neighbors=64,
-        tpu_geodesic_steps_eval=128,
-        tpu_spatial_shape=512,
-        tpu_unet_depth=7,
-        tpu_ball_nsample=64,
-    )
+    cfg = load_config(None, batch_size=1, tpu_max_instances=64, **SCALES[scale])
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
     batch = _synthetic_batch(cfg, 1, seed=0)
@@ -61,12 +74,13 @@ def main():
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["proposals"]["scores"], out["semantic_scores"]
 
-    # compile + warmup
     r = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
     jax.block_until_ready(fwd(batch, r))
+    compile_s = time.perf_counter() - t0
 
     times = []
-    for i in range(8):
+    for _ in range(8):
         r, sub = jax.random.split(r)
         t0 = time.perf_counter()
         jax.block_until_ready(fwd(batch, sub))
@@ -82,11 +96,40 @@ def main():
                 "unit": "scenes/sec",
                 "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 4),
                 "p50_latency_s": round(p50, 4),
+                "compile_s": round(compile_s, 1),
+                "scale": scale,
                 "points": int(cfg.tpu_max_points),
                 "device": str(jax.devices()[0]),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--_worker":
+        measure(sys.argv[2])
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, PYTHONPATH=here)
+    for scale in ("full", "half", "small"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_worker", scale],
+                timeout=TIMEOUTS[scale], capture_output=True, text=True, env=env,
+                cwd=here,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# scale={scale} timed out, retrying smaller", file=sys.stderr)
+            continue
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"# scale={scale} failed: {(proc.stderr or '')[-400:]}", file=sys.stderr)
+    print(json.dumps({"metric": "scene_inference", "value": 0.0,
+                      "unit": "scenes/sec", "vs_baseline": 0.0,
+                      "error": "all scales failed"}))
 
 
 if __name__ == "__main__":
