@@ -45,9 +45,14 @@ def _knn_scene(queries, points, mask, k, query_chunk=1024, key_tile=16384):
             )  # [qc, key_tile]
             d2 = q_sq[:, None] + tsq[None, :] - 2.0 * cross
             d2 = jnp.where(tm[None, :], d2, BIG)
-            idx = base + jnp.arange(tp.shape[0], dtype=jnp.int32)[None, :]
-            cat_d = jnp.concatenate([best_d, d2], axis=1)
-            cat_i = jnp.concatenate([best_i, jnp.broadcast_to(idx, d2.shape)], axis=1)
+            # top-k the tile first, then merge two k-lists: concatenating the
+            # running best with the full [qc, key_tile] tile would make XLA
+            # constant-fold a giant iota pad per scan step (minutes of
+            # compile at production tiles)
+            t_negd, t_pos = jax.lax.top_k(-d2, k)
+            t_idx = base + t_pos.astype(jnp.int32)
+            cat_d = jnp.concatenate([best_d, -t_negd], axis=1)  # [qc, 2k]
+            cat_i = jnp.concatenate([best_i, t_idx], axis=1)
             top_negd, top_pos = jax.lax.top_k(-cat_d, k)
             new_d = -top_negd
             new_i = jnp.take_along_axis(cat_i, top_pos, axis=1)
