@@ -88,17 +88,27 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     safe_seeds = jnp.where(seed_mask, jnp.clip(seeds, 0, p - 1), p)
     dist = dist.at[safe_seeds, seed_cols].min(0.0)
 
+    # relax in slabs of S edge slots: one [P,S,Q] gather + min-reduce per
+    # slab (XLA fuses the reduce into the gather consumer) instead of S
+    # separate [P,Q] read-modify-writes — cuts dist-write traffic ~S x while
+    # keeping slab-level Gauss-Seidel propagation within a round
+    slab = 8
+    pad_slots = (-k2) % slab
+    nb2 = jnp.pad(nb2, ((0, 0), (0, pad_slots)), constant_values=p)
+    w2 = jnp.pad(w2, ((0, 0), (0, pad_slots)), constant_values=INF)
+    n_slabs = nb2.shape[1] // slab
+
     def one_round(state):
         dist, _, it = state
         prev = dist
 
-        def slot(kk, d):
-            nbk = nb2[:, kk]  # [P]
-            wk = w2[:, kk]  # [P]
-            cand = d[nbk] + wk[:, None]
+        def slab_step(si, d):
+            idx = jax.lax.dynamic_slice(nb2, (0, si * slab), (p, slab))  # [P,S]
+            wk = jax.lax.dynamic_slice(w2, (0, si * slab), (p, slab))
+            cand = jnp.min(d[idx] + wk[..., None], axis=1)  # [P,Q]
             return d.at[:p].set(jnp.minimum(d[:p], cand))
 
-        dist = jax.lax.fori_loop(0, k2, slot, dist)
+        dist = jax.lax.fori_loop(0, n_slabs, slab_step, dist)
         changed = jnp.any(dist < prev)
         return dist, changed, it + 1
 
