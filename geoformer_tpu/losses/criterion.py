@@ -144,3 +144,28 @@ class InstSetCriterion:
         loss_dict["num_gt"] = num_gt
         loss_dict["loss"] = loss
         return loss, loss_dict
+
+
+def focal_loss_v1(logits, labels, alpha=0.25, gamma=2.0, valid=None):
+    """Standalone multi-label focal loss (reference criterion.py:87-113
+    FocalLossV1 — unused by the shipped training loop, kept for surface
+    parity). logits/labels [..., ], mean over valid entries."""
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * labels + (1 - p) * (1 - labels)
+    alpha_t = alpha * labels + (1 - alpha) * (1 - labels)
+    loss = alpha_t * ce * (1 - p_t) ** gamma
+    if valid is None:
+        return jnp.mean(loss)
+    v = valid.astype(loss.dtype)
+    return jnp.sum(loss * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def compute_score_loss(scores, ious, valid, thresh_pos=0.5, thresh_neg=0.25):
+    """Proposal-score regression loss (reference criterion.py:65-84, unused):
+    BCE against soft labels derived from IoU — 1 above thresh_pos, 0 below
+    thresh_neg, linear in between."""
+    soft = jnp.clip((ious - thresh_neg) / (thresh_pos - thresh_neg), 0.0, 1.0)
+    ce = jnp.maximum(scores, 0) - scores * soft + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    v = valid.astype(ce.dtype)
+    return jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)

@@ -147,3 +147,37 @@ def test_decoupled_mha_shapes():
     out = mha.apply(vars_, q, k, v, mask, False)
     assert out.shape == (2, 5, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_benchmark_prediction_roundtrip(tmp_path):
+    """save_benchmark_predictions (test.py) -> load_benchmark_predictions."""
+    import sys
+    sys.path.insert(0, ".")
+    from test import save_benchmark_predictions
+    from geoformer_tpu.evaluation.gt import load_benchmark_predictions
+
+    pred_info = {
+        "label_id": np.asarray([5, 8]),
+        "conf": np.asarray([0.9, 0.4]),
+        "mask": np.asarray([[1, 0, 1, 0], [0, 1, 1, 0]], np.int32),
+    }
+    save_benchmark_predictions(str(tmp_path), "sceneX", pred_info)
+    got = load_benchmark_predictions(str(tmp_path / "sceneX.txt"))
+    np.testing.assert_array_equal(got["label_id"], pred_info["label_id"])
+    np.testing.assert_allclose(got["conf"], pred_info["conf"], atol=1e-4)
+    np.testing.assert_array_equal(np.stack(got["mask"]), pred_info["mask"])
+
+
+def test_unused_loss_primitives():
+    import jax.numpy as jnp
+    from geoformer_tpu.losses.criterion import compute_score_loss, focal_loss_v1
+
+    logits = jnp.asarray([2.0, -2.0, 0.0])
+    labels = jnp.asarray([1.0, 0.0, 1.0])
+    l = float(focal_loss_v1(logits, labels))
+    assert 0 < l < 1
+    scores = jnp.asarray([1.0, -1.0])
+    ious = jnp.asarray([0.9, 0.1])
+    v = jnp.asarray([True, True])
+    s = float(compute_score_loss(scores, ious, v))
+    assert s > 0
