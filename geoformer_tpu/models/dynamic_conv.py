@@ -58,38 +58,74 @@ def parse_dynamic_params(params, m: int, use_coords: bool = True):
     return w1, b1, w2[..., 0, :], b2
 
 
-def geodesic_corrected_coords(rel_coords, geo_dist):
+def geodesic_corrected_coords(rel_coords, geo_qp, max_geo=None):
     """Push unreached points away (geoformer.py:296-311).
 
-    rel_coords [Q,P,3] = query_loc - point_loc; geo_dist [P,Q] (-1 unreached).
-    For each query: max_geo = max over reached points (fallback: global max),
-    and unreached points get |rel| shifted by sqrt(max_geo)*sign(rel).
+    rel_coords [Q,P,3] = query_loc - point_loc; geo_qp [Q,P] (-1 unreached).
+    For each query: max_geo = max over reached points (fallback: global max
+    over all queries), and unreached points get |rel| shifted by
+    sqrt(max_geo)*sign(rel). Pass `max_geo` [Q] to pin the per-query maxima
+    (needed when processing query chunks so the global fallback stays global).
     """
-    geo_qp = geo_dist.T  # [Q,P]
-    max_geo = jnp.max(geo_qp, axis=1)  # [Q]; -1 if nothing reached
-    global_max = jnp.max(max_geo)
-    max_geo = jnp.where(max_geo < 0, global_max, max_geo)
+    if max_geo is None:
+        max_geo = jnp.max(geo_qp, axis=1)  # [Q]; -1 if nothing reached
+        global_max = jnp.max(max_geo)
+        max_geo = jnp.where(max_geo < 0, global_max, max_geo)
     max_geo = jnp.sqrt(jnp.maximum(max_geo, 0.0))
     unreached = (geo_qp < 0)[..., None]  # [Q,P,1]
     shift = max_geo[:, None, None] * jnp.sign(rel_coords)
     return jnp.where(unreached, rel_coords + shift, rel_coords)
 
 
-def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_locs):
+def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_locs,
+                       q_chunk: int = 64):
     """Per-scene dynamic conv (geoformer.py:286-324).
 
     geo_dist [P,Q], mask_features [P,m], w1 [Q,m,c_in], b1 [Q,m], w2 [Q,m],
     b2 [Q], coords [P,3], query_locs [Q,3] -> mask logits [Q,P].
+
+    Queries run in chunks so the [Qc,P,m] hidden buffer stays bounded
+    (full-resolution eval would otherwise hold Q x P x m floats, ~2GB).
     """
-    rel = query_locs[:, None, :] - coords[None, :, :]  # [Q,P,3]
-    rel = geodesic_corrected_coords(rel, geo_dist)
-    # split the first layer over its [rel | mask_features] input instead of
-    # materializing the concatenated [Q,P,c_in] buffer (2.5GB at eval scale):
-    # the feature term is Q batched [P,m]@[m,m] GEMMs, the coord term is tiny
-    h = (
-        jnp.einsum("qpc,qmc->qpm", rel, w1[..., :3])
-        + jnp.einsum("pf,qmf->qpm", mask_features, w1[..., 3:])
-        + b1[:, None, :]
+    q = w1.shape[0]
+    q_chunk = min(q_chunk, q)
+    pad = (-q) % q_chunk
+    geo_qp = jnp.pad(geo_dist.T, ((0, pad), (0, 0)), constant_values=-1.0)  # [Qp,P]
+    # per-query max with the reference's global fallback, computed over ALL
+    # queries before chunking (geoformer.py:296-311)
+    max_geo = jnp.max(geo_qp[: q], axis=1)
+    global_max = jnp.max(max_geo)
+    max_geo = jnp.pad(jnp.where(max_geo < 0, global_max, max_geo), (0, pad))
+
+    def chunk(args):
+        geo_c, mg_c, w1_c, b1_c, w2_c, b2_c, qloc_c = args
+        rel = qloc_c[:, None, :] - coords[None, :, :]  # [Qc,P,3]
+        rel = geodesic_corrected_coords(rel, geo_c, mg_c)
+        # split the first layer over its [rel | mask_features] input instead
+        # of materializing the concatenated [Qc,P,c_in] buffer; the feature
+        # term is Qc batched [P,m]@[m,m] GEMMs, the coord term is tiny
+        h = (
+            jnp.einsum("qpc,qmc->qpm", rel, w1_c[..., :3])
+            + jnp.einsum("pf,qmf->qpm", mask_features, w1_c[..., 3:])
+            + b1_c[:, None, :]
+        )
+        h = jax.nn.relu(h)
+        return jnp.einsum("qpm,qm->qp", h, w2_c) + b2_c[:, None]
+
+    def pad_q(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+    n_chunks = (q + pad) // q_chunk
+    parts = jax.lax.map(
+        chunk,
+        (
+            geo_qp.reshape(n_chunks, q_chunk, -1),
+            max_geo.reshape(n_chunks, q_chunk),
+            pad_q(w1).reshape(n_chunks, q_chunk, *w1.shape[1:]),
+            pad_q(b1).reshape(n_chunks, q_chunk, -1),
+            pad_q(w2).reshape(n_chunks, q_chunk, -1),
+            pad_q(b2).reshape(n_chunks, q_chunk),
+            pad_q(query_locs).reshape(n_chunks, q_chunk, 3),
+        ),
     )
-    h = jax.nn.relu(h)
-    return jnp.einsum("qpm,qm->qp", h, w2) + b2[:, None]
+    return parts.reshape(-1, coords.shape[0])[:q]

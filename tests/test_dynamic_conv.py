@@ -28,10 +28,17 @@ def test_mask_heads_forward_matches_concat_formulation():
         jnp.asarray(geo), jnp.asarray(feats), jnp.asarray(w1), jnp.asarray(b1),
         jnp.asarray(w2), jnp.asarray(b2), jnp.asarray(coords), jnp.asarray(qlocs),
     ))
+    # multi-chunk path (q_chunk=3 forces padding + 2 chunks) is identical
+    got_chunked = np.asarray(mask_heads_forward(
+        jnp.asarray(geo), jnp.asarray(feats), jnp.asarray(w1), jnp.asarray(b1),
+        jnp.asarray(w2), jnp.asarray(b2), jnp.asarray(coords), jnp.asarray(qlocs),
+        q_chunk=3,
+    ))
+    np.testing.assert_allclose(got_chunked, got, rtol=1e-5, atol=1e-5)
 
     # reference formulation: concat [rel | feats] then one einsum
     rel = qlocs[:, None, :] - coords[None, :, :]
-    rel = np.asarray(geodesic_corrected_coords(jnp.asarray(rel), jnp.asarray(geo)))
+    rel = np.asarray(geodesic_corrected_coords(jnp.asarray(rel), jnp.asarray(geo.T)))
     x = np.concatenate([rel, np.broadcast_to(feats[None], (Q, P, m))], axis=-1)
     h = np.einsum("qpc,qmc->qpm", x, w1) + b1[:, None, :]
     h = np.maximum(h, 0)
