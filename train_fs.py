@@ -26,6 +26,7 @@ from geoformer_tpu.utils.checkpoint import (
 from geoformer_tpu.utils.config import config_from_args
 from geoformer_tpu.utils.logger import create_logger
 from geoformer_tpu.utils.meters import AverageMeter, DictAverageMeter
+from geoformer_tpu.utils.prefetch import prefetch
 from geoformer_tpu.utils.tracking import ScalarWriter, device_memory_stats
 
 
@@ -35,9 +36,11 @@ def train_one_epoch(engine, state, dataset, epoch, logger, rng_seed, writer=None
     loss_meter = DictAverageMeter()
     rng = jax.random.PRNGKey(rng_seed + epoch)
     end = time.time()
-    for it, (support, query, infos) in enumerate(
-        dataset.train_batches(cfg.batch_size, seed=rng_seed + epoch)
-    ):
+    batches = prefetch(
+        dataset.train_batches(cfg.batch_size, seed=rng_seed + epoch),
+        depth=max(int(cfg.num_workers), 0),
+    )
+    for it, (support, query, infos) in enumerate(batches):
         rng, sub = jax.random.split(rng)
         state, loss, loss_dict, lr = engine.train_step(state, query, epoch, sub, support=support)
         loss_meter.update({k: float(v) for k, v in loss_dict.items()})
