@@ -117,6 +117,7 @@ _DEFAULTS = dict(
     tpu_compute_dtype="float32",  # "bfloat16" for MXU-heavy paths
     # paths filled by CLI
     config=None,
+    profile_dir=None,
     pretrain=None,
     resume=None,
     output_path="exp",
@@ -160,6 +161,8 @@ def config_from_args(argv=None) -> Config:
     p.add_argument("--exp_name", type=str, default="default")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--use_backbone", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the eval/train loop here")
     args = p.parse_args(argv)
     return load_config(
         args.config,
@@ -167,4 +170,5 @@ def config_from_args(argv=None) -> Config:
         resume=args.resume,
         output_path=args.output_path,
         exp_name=args.exp_name,
+        profile_dir=args.profile_dir,
     )

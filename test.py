@@ -89,6 +89,10 @@ def main():
     evaluator = ScanNetEval(cfg.cvfold)
     rng = jax.random.PRNGKey(cfg.test_seed)
 
+    from geoformer_tpu.utils.tracking import profile_trace
+
+    prof = profile_trace(cfg.profile_dir, enabled=cfg.profile_dir is not None)
+    prof.__enter__()
     for i, (scene_name, batch) in enumerate(dataset.test_batches()):
         t0 = time.time()
         rng, sub = jax.random.split(rng)
@@ -114,6 +118,7 @@ def main():
             f"{len(pred_info['conf'])} proposals, {time.time() - t0:.2f}s"
         )
 
+    prof.__exit__(None, None, None)
     avgs = evaluator.compute_averages()
     print_results(avgs, logger)
 
