@@ -87,3 +87,19 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_train_step_deterministic(tiny_cfg):
+    """Same seed + data -> bitwise-identical loss (reproducibility contract;
+    the reference seeds torch/np/cuda, train.py:165-171)."""
+    cfg = small_cfg(tiny_cfg, batch_size=1)
+    rng = np.random.default_rng(7)
+    batch = synthetic_batch(rng, 1, cfg.tpu_max_points, cfg.tpu_spatial_shape)
+
+    losses = []
+    for _ in range(2):
+        engine = Engine(cfg, few_shot=False, mesh=make_mesh(1))
+        state = engine.init_state(batch, seed=3)
+        _, loss, _, _ = engine.train_step(state, batch, epoch=1, rng=jax.random.PRNGKey(11))
+        losses.append(float(loss))
+    assert losses[0] == losses[1]
