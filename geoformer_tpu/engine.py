@@ -111,7 +111,10 @@ class Engine:
         if support is not None:
             support = shard_batch(support, self.mesh)
         lr = self.learning_rate(epoch)
-        return self._train_steps[key](state, batch, support, rng, lr) + (lr,)
+        # ambient mesh so bare-PartitionSpec sharding constraints inside the
+        # model (query/model-axis parallelism) resolve during tracing
+        with jax.sharding.set_mesh(self.mesh):
+            return self._train_steps[key](state, batch, support, rng, lr) + (lr,)
 
     def learning_rate(self, epoch):
         cfg = self.cfg

@@ -37,6 +37,7 @@ from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
 from geoformer_tpu.ops.voxelize import devoxelize, voxel_mean_pool
 from geoformer_tpu.ops.knn import knn
 from geoformer_tpu.ops.geodesic import geodesic_distance
+from geoformer_tpu.parallel.mesh import maybe_shard
 
 
 @dataclasses.dataclass(frozen=True)
@@ -322,10 +323,15 @@ class GeoFormerBase(nn.Module):
         rel_pos = self.rel_pos_tensor(
             query_locs, context_locs, geo_dist, context_inds, pc_mins, pc_maxs
         )
+        # under a ("data","model") mesh, queries shard over "model": rel-pos
+        # cross-attention and everything downstream is query-parallel
+        rel_pos = maybe_shard(rel_pos, "data", "model", None, None)
+        dec_inputs = maybe_shard(dec_inputs, "data", "model", None)
         dec_outputs = self.decoder(
             dec_inputs, ctx_feats, query_pos, rel_pos, query_valid, context_valid,
             mc.train_for("decoder", train),
         )  # [L,B,Q,d]
+        dec_outputs = maybe_shard(dec_outputs, None, "data", "model", None)
         if mc.is_fixed("decoder"):
             dec_outputs = jax.lax.stop_gradient(dec_outputs)
         return dec_outputs, query_locs, query_valid
@@ -350,9 +356,11 @@ class GeoFormerBase(nn.Module):
             if mc.is_fixed("controller"):
                 params = jax.lax.stop_gradient(params)
             w1, b1, w2, b2 = parse_dynamic_params(params, mc.m, use_coords=True)
+            w1 = maybe_shard(w1, "data", "model", None, None)
             mask_logits = jax.vmap(mask_heads_forward)(
                 geo_dist, mask_feats, w1, b1, w2, b2, fg_locs, query_locs
             )  # [B,Q,F]
+            mask_logits = maybe_shard(mask_logits, "data", "model", None)
             mask_logits = jnp.where(fg_valid[:, None, :], mask_logits, -1e4)
             cls_list.append(cls_logits)
             mask_list.append(mask_logits)
