@@ -1,0 +1,156 @@
+"""Golden parity: run the ACTUAL reference torch modules (CPU) vs ours.
+
+Covers the numerically subtle pieces end-to-end with converted weights:
+  * the rel vector-attention decoder layer (transformer_detr.py:346-463,
+    incl. the residual quirk at :453-457)
+  * the Fourier positional embedding (pos_embedding.py:88-115)
+  * matrix NMS (util/utils_3d.py:95-141)
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    for alias, typ in (("float", float), ("int", int), ("bool", bool)):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+    # stub deps absent from this image (trimesh is only used by viz helpers)
+    import types
+
+    for missing in ("trimesh",):
+        if missing not in sys.modules:
+            sys.modules[missing] = types.ModuleType(missing)
+    argv_backup = sys.argv
+    sys.argv = [
+        "parity", "--config", os.path.join(REF, "config", "test_geoformer_scannet.yaml"),
+        "--output_path", "/tmp/ref_parity",
+    ]
+    sys.path.insert(0, REF)
+    try:
+        import model.transformer_detr as tdetr
+        import model.pos_embedding as pe
+        import util.utils_3d as u3d
+    finally:
+        sys.argv = argv_backup
+        sys.path.remove(REF)
+    return tdetr, pe, u3d
+
+
+def test_rel_decoder_layer_matches_reference(ref_modules):
+    tdetr, _, _ = ref_modules
+    from geoformer_tpu.models.decoder import RelDecoderLayer
+    from tools.convert_reference_checkpoint import dense, mha
+
+    d, heads, ffn = 16, 4, 32
+    torch.manual_seed(0)
+    layer = tdetr.TransformerDecoderLayer(
+        d, nhead=heads, dim_feedforward=ffn, dropout=0.0, use_rel=True
+    )
+    layer.eval()
+    sd = {f"l.{k}": v.detach().numpy() for k, v in layer.state_dict().items()}
+
+    nq, nc, b = 5, 9, 2
+    rng = np.random.default_rng(1)
+    tgt = rng.normal(size=(nq, b, d)).astype(np.float32)
+    memory = rng.normal(size=(nc, b, d)).astype(np.float32)
+    query_pos = rng.normal(size=(nq, b, d)).astype(np.float32)
+    rel_pos = rng.normal(size=(nq, nc, b, d)).astype(np.float32)
+
+    with torch.no_grad():
+        want, _ = layer.forward_pre_rel(
+            torch.tensor(tgt), torch.tensor(memory),
+            query_pos=torch.tensor(query_pos), relative_pos=torch.tensor(rel_pos),
+        )
+    want = want.numpy()  # [nq, b, d]
+
+    # convert weights with the converter's decoder-layer mapping
+    params = {}
+    params["self_attn"] = mha(sd, "l.self_attn", d, heads)
+    for n in ("norm1", "norm2", "norm3"):
+        params[n] = {"scale": sd[f"l.{n}.weight"], "bias": sd[f"l.{n}.bias"]}
+    params["attn_mlp0"] = dense(sd, "l.attn_mlp.0")
+    params["attn_mlp1"] = dense(sd, "l.attn_mlp.2")
+    params["v_mlp"] = dense(sd, "l.v_mlp.0")
+    params["out_mlp"] = dense(sd, "l.out_mlp.0")
+    params["linear1"] = dense(sd, "l.linear1")
+    params["linear2"] = dense(sd, "l.linear2")
+
+    ours = RelDecoderLayer(d, heads, ffn, dropout=0.0)
+    got = ours.apply(
+        {"params": params},
+        jnp.asarray(tgt.transpose(1, 0, 2)),       # [B,Q,d]
+        jnp.asarray(memory.transpose(1, 0, 2)),    # [B,K,d]
+        jnp.asarray(query_pos.transpose(1, 0, 2)),
+        jnp.asarray(rel_pos.transpose(2, 0, 1, 3)),  # [B,Q,K,d]
+        jnp.ones((b, nq), bool), jnp.ones((b, nc), bool), False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.transpose(1, 0, 2), rtol=1e-4, atol=5e-5
+    )
+
+
+def test_fourier_pos_embedding_matches_reference(ref_modules):
+    _, pe, _ = ref_modules
+    from geoformer_tpu.models.pos_embedding import PositionEmbeddingCoordsFourier
+
+    d_pos = 16
+    torch.manual_seed(1)
+    ref = pe.PositionEmbeddingCoordsSine(pos_type="fourier", d_pos=d_pos, normalize=True)
+    gauss = ref.gauss_B.numpy()
+
+    rng = np.random.default_rng(2)
+    xyz = rng.uniform(0, 3, size=(2, 11, 3)).astype(np.float32)
+    mins = xyz.min(1)
+    maxs = xyz.max(1)
+    with torch.no_grad():
+        want = ref(
+            torch.tensor(xyz),
+            input_range=[torch.tensor(mins), torch.tensor(maxs)],
+        ).numpy()  # [B, d_pos, N]
+
+    ours = PositionEmbeddingCoordsFourier(d_pos=d_pos)
+    got = ours.apply(
+        {"constants": {"gauss_B": gauss}},
+        jnp.asarray(xyz), jnp.asarray(mins), jnp.asarray(maxs),
+    )  # [B, N, d_pos]
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 2, 1), want, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_matrix_nms_matches_reference(ref_modules):
+    _, _, u3d = ref_modules
+    from geoformer_tpu.ops.nms import matrix_nms
+
+    rng = np.random.default_rng(3)
+    q, p = 12, 200
+    masks = (rng.random((q, p)) > 0.6).astype(np.float32)
+    scores = rng.random(q).astype(np.float32)
+    cats = rng.integers(0, 3, q).astype(np.int64)
+
+    keep_idx = u3d.matrix_non_max_suppression(
+        torch.tensor(masks), torch.tensor(scores), torch.tensor(cats),
+        sigma=2.0, final_score_thresh=0.2,
+    ).numpy()
+    want_keep = np.zeros(q, bool)
+    want_keep[keep_idx] = True
+
+    got_keep, _ = matrix_nms(
+        jnp.asarray(masks), jnp.asarray(scores), jnp.asarray(cats),
+        jnp.ones(q, bool), sigma=2.0, final_score_thresh=0.2,
+    )
+    np.testing.assert_array_equal(np.asarray(got_keep), want_keep)
