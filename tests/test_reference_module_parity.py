@@ -154,3 +154,59 @@ def test_matrix_nms_matches_reference(ref_modules):
         jnp.ones(q, bool), sigma=2.0, final_score_thresh=0.2,
     )
     np.testing.assert_array_equal(np.asarray(got_keep), want_keep)
+
+
+def test_bottleneck_transformer_matches_reference(ref_modules):
+    """UBlock bottleneck encoder (model/transformer.py:153-188) — pins the
+    hand-rolled Norm (unbiased std), per-batch mean-offset positions and
+    the q/k/v linear conventions the converter maps."""
+    import model.transformer as ref_tf  # noqa: PLC0415  (path set by fixture)
+
+    from geoformer_tpu.models.unet import BottleneckTransformer
+    from tools.convert_reference_checkpoint import dense
+
+    d_model, n_layers, heads, d_ff = 128, 2, 4, 64
+    torch.manual_seed(2)
+    ref = ref_tf.TransformerEncoder(d_model, n_layers, heads, d_ff)
+    ref.eval()
+    sd = {f"t.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    n, b = 13, 2
+    rng = np.random.default_rng(5)
+    xyz = rng.uniform(0, 4, size=(b, n, 3)).astype(np.float32)
+    feats = rng.normal(size=(b, n, d_model)).astype(np.float32)
+
+    # reference consumes flat arrays + batch ids
+    flat_xyz = torch.tensor(xyz.reshape(-1, 3))
+    flat_feats = torch.tensor(feats.reshape(-1, d_model))
+    batch_ids = torch.tensor(np.repeat(np.arange(b), n))
+    with torch.no_grad():
+        want = ref(flat_xyz, flat_feats, batch_ids).numpy().reshape(b, n, d_model)
+
+    params = {"position_linear": dense(sd, "t.position_linear")}
+    dh = d_model // heads
+    for li in range(n_layers):
+        lp = f"t.layers.{li}"
+        for ni, name in ((1, f"norm1_{li}"), (2, f"norm2_{li}")):
+            params[name] = {
+                "alpha": sd[f"{lp}.norm_{ni}.alpha"],
+                "bias": sd[f"{lp}.norm_{ni}.bias"],
+            }
+        attn = {}
+        for tname, oname in (("q_linear", "q"), ("k_linear", "k"), ("v_linear", "v")):
+            w = sd[f"{lp}.attn_1.{tname}.weight"].T
+            bb = sd[f"{lp}.attn_1.{tname}.bias"]
+            attn[oname] = {"kernel": w.reshape(d_model, heads, dh),
+                           "bias": bb.reshape(heads, dh)}
+        attn["out"] = dense(sd, f"{lp}.attn_1.out")
+        params[f"attn_{li}"] = attn
+        params[f"ff1_{li}"] = dense(sd, f"{lp}.ff.linear_1")
+        params[f"ff2_{li}"] = dense(sd, f"{lp}.ff.linear_2")
+    params["norm_out"] = {"alpha": sd["t.norm.alpha"], "bias": sd["t.norm.bias"]}
+
+    ours = BottleneckTransformer(d_model, n_layers, heads, d_ff, dropout=0.0)
+    got = ours.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(xyz),
+        jnp.ones((b, n), bool), False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=5e-5)
