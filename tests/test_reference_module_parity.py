@@ -210,3 +210,62 @@ def test_bottleneck_transformer_matches_reference(ref_modules):
         jnp.ones((b, n), bool), False,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=5e-5)
+
+
+def test_hungarian_matcher_matches_reference(ref_modules):
+    """Matcher parity (model/matcher.py:43-126): same (query, instance)
+    assignment from our static-shape cost + host LSA as from the reference's
+    dynamic-shape matcher, both fewshot and supervised costs."""
+    import model.matcher as ref_matcher  # noqa: PLC0415
+
+    from geoformer_tpu.losses.matcher import (
+        build_gt_instances,
+        dice_cost,
+        hungarian_assign,
+    )
+
+    q, f, c, max_inst = 8, 120, 13, 6
+    rng = np.random.default_rng(7)
+    mask_logit = rng.normal(size=(q, f)).astype(np.float32)
+    sem_logit = rng.normal(size=(q, c)).astype(np.float32)
+    inst = rng.integers(-1, 4, size=f).astype(np.int64)
+    inst[inst == -1] = -100
+    sem = rng.integers(4, 4 + 9, size=f).astype(np.int64)
+    # semantics uniform within an instance (like real data)
+    for i in range(4):
+        sem[inst == i] = 4 + i
+
+    matcher = ref_matcher.HungarianMatcher(batch_size=1, n_queries=q)
+    for fewshot in (True, False):
+        rows, inst_masks_t, sem_labels_t = matcher.forward_seg_single(
+            torch.tensor(mask_logit), torch.tensor(sem_logit),
+            torch.tensor(inst), torch.tensor(sem), fewshot=fewshot,
+        )
+        # reference returns (query k, matched instance mask k); recover the
+        # instance id of each returned mask to compare as (query, inst) pairs
+        inst_masks_np = inst_masks_t.numpy().astype(bool)
+        true_masks = np.stack([(inst == i) for i in range(4)])
+        want_pairs = set()
+        for k in range(len(rows)):
+            inst_id = int(np.nonzero((true_masks == inst_masks_np[k]).all(1))[0][0])
+            want_pairs.add((int(rows[k]), inst_id))
+
+        fg_valid = jnp.ones((1, f), bool)
+        inst_masks, inst_valid, inst_sem = build_gt_instances(
+            jnp.asarray(inst[None]).astype(jnp.int32),
+            jnp.asarray(sem[None]).astype(jnp.int32), fg_valid, max_inst,
+        )
+        cost_d = dice_cost(jnp.asarray(mask_logit), inst_masks[0], fg_valid[0])
+        if fewshot:
+            cost = cost_d
+        else:
+            prob = jax.nn.softmax(jnp.asarray(sem_logit), -1)
+            cost_c = -prob[:, inst_sem[0]]
+            cost = cost_d + cost_c
+        pred_inds = hungarian_assign(cost[None], inst_valid)[0]
+        got_pairs = {
+            (int(np.asarray(pred_inds)[i]), i)
+            for i in range(max_inst)
+            if bool(np.asarray(inst_valid[0])[i])
+        }
+        assert got_pairs == want_pairs, f"fewshot={fewshot}: {got_pairs} vs {want_pairs}"
