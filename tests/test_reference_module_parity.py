@@ -269,3 +269,45 @@ def test_hungarian_matcher_matches_reference(ref_modules):
             if bool(np.asarray(inst_valid[0])[i])
         }
         assert got_pairs == want_pairs, f"fewshot={fewshot}: {got_pairs} vs {want_pairs}"
+
+
+def test_loss_primitives_match_reference(ref_modules):
+    """Dice + sigmoid-focal primitives (criterion.py:19-62) with full-valid
+    masks equal our masked versions exactly."""
+    argv_backup = sys.argv
+    sys.argv = [
+        "parity", "--config", os.path.join(REF, "config", "test_geoformer_scannet.yaml"),
+        "--output_path", "/tmp/ref_parity",
+    ]
+    sys.path.insert(0, REF)
+    try:
+        import criterion as ref_crit  # noqa: PLC0415
+    finally:
+        sys.argv = argv_backup
+        sys.path.remove(REF)
+
+    from geoformer_tpu.losses.criterion import masked_dice_loss, masked_focal_loss
+
+    rng = np.random.default_rng(9)
+    n_inst, f = 5, 80
+    logits = rng.normal(size=(n_inst, f)).astype(np.float32)
+    targets = (rng.random((n_inst, f)) > 0.5).astype(np.float32)
+    num_boxes = float(n_inst)
+
+    want_dice = float(ref_crit.compute_dice_loss(
+        torch.tensor(logits), torch.tensor(targets), num_boxes
+    ))
+    want_focal = float(ref_crit.compute_sigmoid_focal_loss(
+        torch.tensor(logits), torch.tensor(targets), num_boxes
+    ))
+
+    pair_valid = jnp.ones(n_inst, jnp.float32)
+    point_valid = jnp.ones(f, bool)
+    got_dice = float(masked_dice_loss(
+        jnp.asarray(logits), jnp.asarray(targets), pair_valid, point_valid, num_boxes
+    ))
+    got_focal = float(masked_focal_loss(
+        jnp.asarray(logits), jnp.asarray(targets), pair_valid, point_valid, num_boxes
+    ))
+    np.testing.assert_allclose(got_dice, want_dice, rtol=1e-5)
+    np.testing.assert_allclose(got_focal, want_focal, rtol=1e-5)
