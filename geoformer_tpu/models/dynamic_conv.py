@@ -78,7 +78,7 @@ def geodesic_corrected_coords(rel_coords, geo_qp, max_geo=None):
 
 
 def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_locs,
-                       q_chunk: int = 64):
+                       q_chunk: int = 64, compute_dtype=None):
     """Per-scene dynamic conv (geoformer.py:286-324).
 
     geo_dist [P,Q], mask_features [P,m], w1 [Q,m,c_in], b1 [Q,m], w2 [Q,m],
@@ -86,7 +86,12 @@ def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_lo
 
     Queries run in chunks so the [Qc,P,m] hidden buffer stays bounded
     (full-resolution eval would otherwise hold Q x P x m floats, ~2GB).
+    compute_dtype=bf16 runs the feature GEMMs in bf16 with fp32 accumulation
+    (the reference autocasts this head to fp16, geoformer_fs.py:341).
     """
+    if compute_dtype is not None:
+        mask_features = mask_features.astype(compute_dtype)
+        w1 = w1.astype(compute_dtype)
     q = w1.shape[0]
     q_chunk = min(q_chunk, q)
     pad = (-q) % q_chunk
@@ -101,12 +106,16 @@ def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_lo
         geo_c, mg_c, w1_c, b1_c, w2_c, b2_c, qloc_c = args
         rel = qloc_c[:, None, :] - coords[None, :, :]  # [Qc,P,3]
         rel = geodesic_corrected_coords(rel, geo_c, mg_c)
+        if compute_dtype is not None:
+            rel = rel.astype(compute_dtype)
         # split the first layer over its [rel | mask_features] input instead
         # of materializing the concatenated [Qc,P,c_in] buffer; the feature
         # term is Qc batched [P,m]@[m,m] GEMMs, the coord term is tiny
         h = (
-            jnp.einsum("qpc,qmc->qpm", rel, w1_c[..., :3])
-            + jnp.einsum("pf,qmf->qpm", mask_features, w1_c[..., 3:])
+            jnp.einsum("qpc,qmc->qpm", rel, w1_c[..., :3],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("pf,qmf->qpm", mask_features, w1_c[..., 3:],
+                         preferred_element_type=jnp.float32)
             + b1_c[:, None, :]
         )
         h = jax.nn.relu(h)

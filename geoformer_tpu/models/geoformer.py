@@ -17,6 +17,7 @@ We map FPS indices through the subsample so seeds == query points.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import flax.linen as nn
 import jax
@@ -357,7 +358,11 @@ class GeoFormerBase(nn.Module):
                 params = jax.lax.stop_gradient(params)
             w1, b1, w2, b2 = parse_dynamic_params(params, mc.m, use_coords=True)
             w1 = maybe_shard(w1, "data", "model", None, None)
-            mask_logits = jax.vmap(mask_heads_forward)(
+            mh = functools.partial(
+                mask_heads_forward,
+                compute_dtype=jnp.bfloat16 if mc.bf16 else None,
+            )
+            mask_logits = jax.vmap(mh)(
                 geo_dist, mask_feats, w1, b1, w2, b2, fg_locs, query_locs
             )  # [B,Q,F]
             mask_logits = maybe_shard(mask_logits, "data", "model", None)
