@@ -111,7 +111,10 @@ def main():
         measure(sys.argv[2])
         return
     here = os.path.dirname(os.path.abspath(__file__))
-    env = dict(os.environ, PYTHONPATH=here)
+    # APPEND to PYTHONPATH: the axon TPU plugin is found via PYTHONPATH and
+    # overwriting it silently falls back to CPU
+    prev = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=f"{here}:{prev}" if prev else here)
     for scale in ("full", "half", "small"):
         try:
             proc = subprocess.run(
