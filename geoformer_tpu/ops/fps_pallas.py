@@ -32,7 +32,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, mask_ref, out_ref, dist_ref, *, n_samples, 
     mask = mask_ref[:]
     valid = mask > 0.5
     dist_ref[:] = jnp.where(valid, _BIG, -1.0)
-    out_ref[0, 0] = jnp.int32(0)
+    out_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)  # scalar VMEM stores don't lower
 
     flat_id = (
         jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0) * _LANES
@@ -41,11 +41,12 @@ def _fps_kernel(x_ref, y_ref, z_ref, mask_ref, out_ref, dist_ref, *, n_samples, 
     big_id = jnp.int32(rows * _LANES)
 
     def body(i, last):
-        r = last // _LANES
-        c = last % _LANES
-        xs = x_ref[r, c]
-        ys = y_ref[r, c]
-        zs = z_ref[r, c]
+        # pick the last point's coords via masked reductions (scalar VMEM
+        # loads don't reliably lower in Mosaic)
+        sel = flat_id == last
+        xs = jnp.sum(jnp.where(sel, x_ref[:], 0.0))
+        ys = jnp.sum(jnp.where(sel, y_ref[:], 0.0))
+        zs = jnp.sum(jnp.where(sel, z_ref[:], 0.0))
         dx = x_ref[:] - xs
         dy = y_ref[:] - ys
         dz = z_ref[:] - zs
@@ -56,7 +57,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, mask_ref, out_ref, dist_ref, *, n_samples, 
         # lowest flat index attaining the max (stable argmax)
         nxt = jnp.min(jnp.where(nd >= m, flat_id, big_id))
         nxt = jnp.minimum(nxt, big_id - 1).astype(jnp.int32)
-        out_ref[i, 0] = nxt
+        out_ref[pl.ds(i, 1), 0:1] = jnp.reshape(nxt, (1, 1))
         return nxt
 
     jax.lax.fori_loop(1, n_samples, body, jnp.int32(0))
