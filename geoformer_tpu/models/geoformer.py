@@ -37,6 +37,7 @@ from geoformer_tpu.models.unet import SemanticHead, SparseUNetBackbone
 from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
 from geoformer_tpu.ops.voxelize import devoxelize, voxel_mean_pool
 from geoformer_tpu.ops.knn import knn
+from geoformer_tpu.ops.radius_graph import radius_knn
 from geoformer_tpu.ops.geodesic import geodesic_distance
 from geoformer_tpu.parallel.mesh import maybe_shard
 
@@ -65,6 +66,7 @@ class ModelConfig:
     train_subsample: int = 30000
     knn_neighbors: int = 64
     geodesic_radius: float = 0.05
+    radius_cell_cap: int = 8
     geodesic_steps_train: int = 128
     geodesic_steps_eval: int = 256
     ball_radius: float = 0.2
@@ -120,6 +122,7 @@ class ModelConfig:
             max_fg_points=cfg.tpu_max_fg_points,
             train_subsample=cfg.tpu_train_subsample,
             knn_neighbors=cfg.tpu_knn_neighbors,
+            radius_cell_cap=cfg.tpu_radius_cell_cap,
             geodesic_radius=cfg.tpu_geodesic_radius,
             geodesic_steps_train=cfg.tpu_geodesic_steps_train,
             geodesic_steps_eval=cfg.tpu_geodesic_steps_eval,
@@ -272,9 +275,15 @@ class GeoFormerBase(nn.Module):
     def forward_geodesic(self, fg_locs, fg_valid, context_inds, context_valid, train: bool):
         mc = self.mc
         q = mc.n_query_points
-        d2, idx = knn(fg_locs, fg_locs, fg_valid, mc.knn_neighbors + 1)
-        nbr_d = jnp.sqrt(jnp.maximum(d2[..., 1:], 0.0))
-        nbr_i = idx[..., 1:]
+        # K nearest within the geodesic radius via a voxel hash — the
+        # radius gate makes brute-force kNN (reference FAISS) wasteful; see
+        # ops/radius_graph.py. Out-of-radius slots carry 1e30 and die at the
+        # geodesic's own gate.
+        d2, nbr_i = radius_knn(
+            fg_locs, fg_valid, mc.geodesic_radius, mc.knn_neighbors,
+            cell_cap=mc.radius_cell_cap,
+        )
+        nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
         seeds = context_inds[:, :q]
         seed_mask = context_valid[:, :q]
         steps = mc.geodesic_steps_train if train else mc.geodesic_steps_eval

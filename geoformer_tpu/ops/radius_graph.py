@@ -1,0 +1,91 @@
+"""Radius-bounded kNN via a voxel hash — the geodesic graph builder.
+
+The reference builds the geodesic graph as FAISS 64-NN + a 0.05m radius
+gate (geodesic_utils.py:12-24, geoformer.py:454-463). Brute-force kNN costs
+O(P^2) and its top-k dominates eval time on TPU (measured ~1.1s at P=32k).
+But the radius gate means only neighbors within `radius` matter: bucketing
+points into cells of size `radius` bounds candidates to the 3^3 cell window
+— O(P * 27 * cell_cap) with a tiny top-k, exact K-nearest-within-radius
+up to the per-cell capacity.
+
+Cell occupancy at reference densities (2cm-voxelized scans, 5cm cells) is
+~1-2 points; `cell_cap` of 8 makes overflow (dropped candidates) negligible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from geoformer_tpu.ops.voxelize import pack_key, voxelize
+
+_BIG = jnp.float32(1e30)
+
+# 27 cell offsets (dz, dy, dx)
+_WINDOW = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024):
+    p = points.shape[0]
+    # cell coords, shifted non-negative; clip to the packing range
+    origin = jnp.min(jnp.where(mask[:, None], points, _BIG), axis=0)
+    cells = jnp.clip(
+        jnp.floor((points - origin) / radius).astype(jnp.int32), 0, spatial - 1
+    )
+    grid = voxelize(cells[None], mask[None], p, spatial)
+    p2c = grid.p2v[0]  # [P] point -> cell slot (p = pad)
+    cell_keys = grid.voxel_keys[0]  # [P] sorted packed keys
+    n_cells = grid.n_voxels[0]
+
+    # cell -> points rulebook [P(cells), cell_cap], pad = p
+    order = jnp.argsort(p2c)  # stable: index order within each cell
+    sorted_cells = p2c[order]
+    starts = jnp.searchsorted(sorted_cells, jnp.arange(p + 1, dtype=jnp.int32))
+    rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, p)]
+    ok = (sorted_cells < p) & (rank < cell_cap)
+    slot = jnp.where(ok, sorted_cells * cell_cap + rank, p * cell_cap)
+    cell_pts = jnp.full((p * cell_cap + 1,), p, jnp.int32).at[slot].set(
+        jnp.where(ok, order, p)
+    )[: p * cell_cap].reshape(p, cell_cap)
+
+    # candidate cells: own cell + 26 neighbors via searchsorted on sorted keys
+    own = cells  # [P,3] (x,y,z)
+    offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)  # (x,y,z)
+    nc = own[:, None, :] + offs[None, :, :]  # [P,27,3]
+    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & mask[:, None]
+    nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
+    cidx = jnp.searchsorted(cell_keys, nkey).astype(jnp.int32)
+    cidx = jnp.minimum(cidx, p - 1)
+    found = in_range & (cell_keys[cidx] == nkey) & (cidx < n_cells)
+    cidx = jnp.where(found, cidx, p)  # pad cell
+
+    # candidate points [P, 27*cap]
+    cell_pts_pad = jnp.concatenate(
+        [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
+    )
+    cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
+
+    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
+    cpos = pts_pad[cand]  # [P, C, 3]
+    d2 = jnp.sum((points[:, None, :] - cpos) ** 2, axis=-1)
+    bad = (cand >= p) | (cand == jnp.arange(p, dtype=jnp.int32)[:, None]) | (
+        d2 > radius * radius
+    ) | ~mask[:, None]
+    d2 = jnp.where(bad, _BIG, d2)
+
+    neg_d, pos = jax.lax.top_k(-d2, k)  # k nearest within radius
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    d2k = -neg_d
+    valid = d2k < _BIG
+    idx = jnp.where(valid, idx, p)
+    return jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
+
+
+def radius_knn(points, mask, radius, k, cell_cap: int = 8):
+    """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] ascending (1e30 pad),
+    idx [B,P,k] int32 (P = pad)): the K nearest neighbors within `radius` of
+    every point (self excluded), exact up to `cell_cap` points per radius-cell.
+    """
+    return jax.vmap(lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap))(
+        points, mask
+    )

@@ -1,0 +1,55 @@
+"""Voxel-hash radius kNN vs brute force (the geodesic graph builder)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from geoformer_tpu.ops.radius_graph import radius_knn
+
+
+def _brute(points, mask, radius, k):
+    p = len(points)
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    d2[~mask] = 1e30
+    d2[:, ~mask] = 1e30
+    np.fill_diagonal(d2, 1e30)
+    d2[d2 > radius * radius] = 1e30
+    idx = np.argsort(d2, axis=1)[:, :k]
+    dk = np.take_along_axis(d2, idx, axis=1)
+    idx[dk >= 1e30] = p
+    return dk, idx
+
+
+def test_radius_knn_matches_brute_force():
+    rng = np.random.default_rng(0)
+    p, k, r = 300, 8, 0.12
+    pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
+    mask = np.ones(p, bool)
+    mask[280:] = False
+    want_d, want_i = _brute(pts, mask, r, k)
+    got_d, got_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                              cell_cap=16)
+    got_d, got_i = np.asarray(got_d[0]), np.asarray(got_i[0])
+
+    for q in range(280):
+        wd = want_d[q][want_d[q] < 1e30]
+        gd = got_d[q][got_d[q] < 1e30]
+        assert len(wd) == len(gd), f"point {q}: {len(wd)} vs {len(gd)} neighbors"
+        np.testing.assert_allclose(np.sort(gd), np.sort(wd), rtol=1e-4)
+        # neighbor sets equal (distances may tie)
+        ws = set(want_i[q][want_d[q] < 1e30].tolist())
+        gs = set(got_i[q][got_d[q] < 1e30].tolist())
+        assert ws == gs, f"point {q}"
+    # invalid points have no neighbors
+    assert (got_i[280:] == p).all()
+
+
+def test_radius_knn_dense_cluster_cap():
+    """More in-radius neighbors than k: keeps the k nearest."""
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 0.02, size=(64, 3)).astype(np.float32)
+    mask = np.ones(64, bool)
+    got_d, got_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), 0.5, 4,
+                              cell_cap=64)
+    got_d = np.asarray(got_d[0])
+    want_d, _ = _brute(pts, mask, 0.5, 4)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-7)
