@@ -65,6 +65,27 @@ def main():
 
     stages = {}
 
+    def gridplan(batch, rng):
+        from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
+
+        caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+        plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps)
+        return plan.subm[0], plan.grids[0].p2v
+
+    def unet(batch, rng):
+        from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
+        from geoformer_tpu.ops.voxelize import voxel_mean_pool
+
+        def run(mdl):
+            caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+            plan = build_grid_plan(
+                batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps
+            )
+            feats = jnp.concatenate([batch["feats"], batch["points"]], axis=-1)
+            vox = voxel_mean_pool(feats, plan.grids[0])
+            return mdl.backbone(vox, plan, False)
+        return model.apply(variables, rngs={"sample": rng}, method=run)
+
     def bb(batch, rng):
         def run(mdl):
             return mdl.forward_backbone(batch, train=False)
@@ -93,7 +114,8 @@ def main():
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["mask_logits"]
 
-    stages = {"backbone": bb, "aggregator": agg, "geodesic": geo, "full": full}
+    stages = {"gridplan": gridplan, "unet": unet, "backbone": bb,
+              "aggregator": agg, "geodesic": geo, "full": full}
     want = args.stages.split(",") if args.stages != "all" else list(stages)
 
     r = jax.random.PRNGKey(1)
