@@ -61,11 +61,15 @@ class DownLink(NamedTuple):
 
     parent:      [B, V_child] int32, child voxel -> parent slot (pad -> V_parent)
     offset_idx:  [B, V_child] int32 in [0, 8): child position within parent cell
+    children:    [B, V_parent, 8] int32, parent -> child slots (pad -> V_child);
+                 exactly <= 8 children per parent, so the down-conv reduction
+                 is 8 gathers instead of a colliding scatter-add
     parent_grid: VoxelGrid of the parent level (coords are child coords // 2)
     """
 
     parent: jax.Array
     offset_idx: jax.Array
+    children: jax.Array
     parent_grid: VoxelGrid
 
 
@@ -75,7 +79,20 @@ def build_downsample(grid: VoxelGrid, spatial: int, num_parent_voxels: int) -> D
     c = grid.voxel_coords
     offset_idx = (c[..., 2] % 2) * 4 + (c[..., 1] % 2) * 2 + (c[..., 0] % 2)
     offset_idx = jnp.where(grid.voxel_mask, offset_idx, 0).astype(jnp.int32)
-    return DownLink(parent=pgrid.p2v, offset_idx=offset_idx, parent_grid=pgrid)
+
+    # children rulebook from the parent grid's sorted order: children of
+    # parent j are pgrid.order[starts[j] : starts[j+1]] (<= 8 of them)
+    vc = grid.voxel_keys.shape[1]
+
+    def scene(order, starts, counts):
+        idx = starts[:-1, None] + jnp.arange(8, dtype=jnp.int32)[None, :]
+        ok = jnp.arange(8, dtype=jnp.int32)[None, :] < counts[:, None]
+        child = order[jnp.minimum(idx, vc - 1)]
+        return jnp.where(ok, child, vc).astype(jnp.int32)
+
+    children = jax.vmap(scene)(pgrid.order, pgrid.starts, pgrid.counts)
+    return DownLink(parent=pgrid.p2v, offset_idx=offset_idx, children=children,
+                    parent_grid=pgrid)
 
 
 def _pad_zero_row(feats: jax.Array) -> jax.Array:
@@ -139,14 +156,17 @@ def _offset_gemm(feats: jax.Array, offset_idx: jax.Array, w: jax.Array, precisio
 
 def down_conv(feats: jax.Array, link: DownLink, w: jax.Array, precision=None,
               compute_dtype=None) -> jax.Array:
-    """Strided k=2 s=2 conv: child feats [B,Vc,Cin] -> parent [B,Vp,Cout]."""
-    vp = link.parent_grid.voxel_keys.shape[1]
+    """Strided k=2 s=2 conv: child feats [B,Vc,Cin] -> parent [B,Vp,Cout].
+
+    The parent reduction walks the <=8-slot children rulebook (gathers) —
+    a scatter-add over colliding parent indices serializes on TPU."""
     transformed = _offset_gemm(feats, link.offset_idx, w, precision, compute_dtype)  # [B,Vc,Cout]
+    tpad = _pad_zero_row(transformed)
 
-    def scene(t, parent):
-        return jnp.zeros((vp + 1, t.shape[-1]), t.dtype).at[parent].add(t)[:vp]
+    def scene(t, children):
+        return jnp.sum(t[children], axis=1)  # [Vp, 8, C] -> [Vp, C]
 
-    return jax.vmap(scene)(transformed, link.parent)
+    return jax.vmap(scene)(tpad, link.children)
 
 
 def up_conv(parent_feats: jax.Array, link: DownLink, w: jax.Array, precision=None,
