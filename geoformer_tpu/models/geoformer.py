@@ -494,7 +494,9 @@ def generate_proposal(
         sem_scores_q = jnp.take_along_axis(sem_q, cls_pred[:, None], axis=1)[:, 0]
         scores = mask_scores * jnp.sqrt(cls_scores) * sem_scores_q
         keep = (cls_pred >= 4) & (npoints >= npoint_thresh) & (mask_scores >= score_thresh)
-        full = jnp.zeros((ml.shape[0], p + 1), bool).at[:, fidx].set(mask_bool)[:, :p]
+        full = jnp.zeros((ml.shape[0], p + 1), bool).at[:, fidx].set(
+            mask_bool, unique_indices=True, mode="promise_in_bounds"
+        )[:, :p]
         return {
             "masks": full,  # [Q, P] bool
             "scores": scores,

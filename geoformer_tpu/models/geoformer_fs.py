@@ -204,7 +204,9 @@ def generate_fs_proposal(
         keep = (sim >= sim_score_thresh) & (npoints >= npoint_thresh) & (
             mask_scores >= score_thresh
         )
-        full = jnp.zeros((ml.shape[0], p + 1), bool).at[:, fidx].set(mask_bool)[:, :p]
+        full = jnp.zeros((ml.shape[0], p + 1), bool).at[:, fidx].set(
+            mask_bool, unique_indices=True, mode="promise_in_bounds"
+        )[:, :p]
         return {"masks": full, "scores": scores, "keep": keep}
 
     return jax.vmap(scene)(mask_logits, similarity, fg_idx, fg_valid)

@@ -55,10 +55,10 @@ def symmetrize_graph(nbr_idx: jax.Array, w: jax.Array, rev_slots: int | None = N
     ok = (sdst < p) & (rank < r)
     slot = jnp.where(ok, sdst * r + rank, p * r)
     rev_i = jnp.full((p * r + 1,), p, jnp.int32).at[slot].set(
-        jnp.where(ok, ssrc, p)
+        jnp.where(ok, ssrc, p), unique_indices=True, mode="promise_in_bounds"
     )[: p * r].reshape(p, r)
     rev_w = jnp.full((p * r + 1,), INF, jnp.float32).at[slot].set(
-        jnp.where(ok, sw, INF)
+        jnp.where(ok, sw, INF), unique_indices=True, mode="promise_in_bounds"
     )[: p * r].reshape(p, r)
 
     return (

@@ -37,15 +37,16 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024):
     cell_keys = grid.voxel_keys[0]  # [P] sorted packed keys
     n_cells = grid.n_voxels[0]
 
-    # cell -> points rulebook [P(cells), cell_cap], pad = p
-    order = jnp.argsort(p2c)  # stable: index order within each cell
+    # cell -> points rulebook [P(cells), cell_cap], pad = p; the grid's own
+    # sort order already groups points by cell (no extra argsort)
+    order = grid.order[0]
+    starts = grid.starts[0]  # [P+1] segment boundaries per cell slot
     sorted_cells = p2c[order]
-    starts = jnp.searchsorted(sorted_cells, jnp.arange(p + 1, dtype=jnp.int32))
     rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, p)]
     ok = (sorted_cells < p) & (rank < cell_cap)
     slot = jnp.where(ok, sorted_cells * cell_cap + rank, p * cell_cap)
     cell_pts = jnp.full((p * cell_cap + 1,), p, jnp.int32).at[slot].set(
-        jnp.where(ok, order, p)
+        jnp.where(ok, order, p), unique_indices=True, mode="promise_in_bounds"
     )[: p * cell_cap].reshape(p, cell_cap)
 
     # candidate cells: own cell + 26 neighbors via searchsorted on sorted keys
