@@ -67,7 +67,11 @@ def measure(scale: str):
 
     k = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(k, 3)
-    variables = model.init({"params": k1, "sample": k2, "dropout": k3}, batch, train=False)
+    # jit the init: eager init compiles every op separately through the
+    # remote-compile tunnel (~20 min at full scale)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False)
+    )({"params": k1, "sample": k2, "dropout": k3}, batch)
 
     @jax.jit
     def fwd(batch, rng):

@@ -60,7 +60,10 @@ def main():
     print(f"device={jax.devices()[0]} points={args.points} depth={args.depth}")
 
     t0 = time.perf_counter()
-    variables = model.init({"params": k1, "sample": k2, "dropout": k3}, batch, train=False)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, train=False)
+    )({"params": k1, "sample": k2, "dropout": k3}, batch)
+    jax.block_until_ready(variables)
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     stages = {}
