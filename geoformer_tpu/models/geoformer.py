@@ -287,8 +287,12 @@ class GeoFormerBase(nn.Module):
         seeds = context_inds[:, :q]
         seed_mask = context_valid[:, :q]
         steps = mc.geodesic_steps_train if train else mc.geodesic_steps_eval
+        # symmetrize=False: the radius-kNN graph is symmetric up to the K
+        # cap, so the reverse-edge table would double relaxation traffic
+        # for near-zero effect
         return geodesic_distance(
-            nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps
+            nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
+            symmetrize=False,
         )  # [B, F, Q]
 
     # ---------------- decoder ----------------

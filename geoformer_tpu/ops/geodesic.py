@@ -68,7 +68,7 @@ def symmetrize_graph(nbr_idx: jax.Array, w: jax.Array, rev_slots: int | None = N
 
 
 def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
-                    rev_slots=None):
+                    rev_slots=None, symmetrize=True):
     p, k = nbr_idx.shape
     q = seeds.shape[0]
 
@@ -79,7 +79,14 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     )  # [P,K] edge weights; radius-gated like the reference, dead for pad points
     nb = jnp.clip(nbr_idx, 0, p - 1)
     nb = jnp.where(w < INF, nb, p)  # dead edges point at the pad row
-    nb2, w2 = symmetrize_graph(nb, w, rev_slots)
+    if symmetrize:
+        nb2, w2 = symmetrize_graph(nb, w, rev_slots)
+    else:
+        # a K-nearest-within-radius graph is symmetric whenever the K cap
+        # doesn't bind (b in N_r(a) <=> a in N_r(b)); callers building the
+        # graph with ops/radius_graph.py can skip the reverse table and
+        # halve the per-round gather traffic
+        nb2, w2 = nb, w
     k2 = nb2.shape[1]
 
     # dist [P+1, Q]; row P is a +inf pad sink
@@ -123,7 +130,7 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
 
 
 def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
-                      rev_slots=None):
+                      rev_slots=None, symmetrize=True):
     """Multi-source geodesics over a kNN graph.
 
     nbr_idx  [B,P,K] int32 neighbor indices (self column already dropped)
@@ -141,5 +148,5 @@ def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n
     """
     return jax.vmap(
         lambda ni, nd, s, sm, pm: _geodesic_scene(ni, nd, s, sm, pm, radius, n_steps,
-                                                  rev_slots)
+                                                  rev_slots, symmetrize)
     )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask)

@@ -139,3 +139,27 @@ def test_geodesic_matches_dijkstra():
         assert np.all(got[~reached & mask] == -1)
     np.testing.assert_array_equal(geo[:, 3][mask], -1)  # invalid seed: all unreached
     assert np.all(geo[~mask] == -1)
+
+
+def test_geodesic_no_symmetrize_on_radius_graph():
+    """With a radius-kNN graph (symmetric when the cap doesn't bind),
+    symmetrize=False reproduces the symmetrized result."""
+    from geoformer_tpu.ops.radius_graph import radius_knn
+
+    rng = np.random.default_rng(11)
+    # K comfortably above the in-radius neighbor count (production regime:
+    # K=64 vs ~23 neighbors at 5cm) — the cap never binds, graph symmetric
+    P, K, R = 150, 48, 0.3
+    pts = rng.uniform(0, 1, size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    d2, idx = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), R, K, cell_cap=32)
+    nbr_d = np.sqrt(np.minimum(np.asarray(d2[0]), 4.0))
+    nbr_i = np.asarray(idx[0])
+    seeds = np.array([0, 5], np.int32)
+    sm = np.array([True, True])
+    args = (jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+            jnp.asarray(seeds[None]), jnp.asarray(sm[None]),
+            jnp.asarray(mask[None]), R, 64)
+    a = np.asarray(geodesic_distance(*args, symmetrize=True)[0])
+    b = np.asarray(geodesic_distance(*args, symmetrize=False)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
