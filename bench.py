@@ -73,21 +73,23 @@ def measure(scale: str):
         lambda r, b: model.init(r, b, train=False)
     )({"params": k1, "sample": k2, "dropout": k3}, batch)
 
+    # variables must be an ARGUMENT: jit-closure arrays become HLO
+    # constants that get re-staged through the device tunnel every call
     @jax.jit
-    def fwd(batch, rng):
+    def fwd(variables, batch, rng):
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["proposals"]["scores"], out["semantic_scores"]
 
     r = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(batch, r))
+    jax.block_until_ready(fwd(variables, batch, r))
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(8):
         r, sub = jax.random.split(r)
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(batch, sub))
+        jax.block_until_ready(fwd(variables, batch, sub))
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.median(times))

@@ -68,14 +68,14 @@ def main():
 
     stages = {}
 
-    def gridplan(batch, rng):
+    def gridplan(variables, batch, rng):
         from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
 
         caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
         plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps)
         return plan.subm[0], plan.grids[0].p2v
 
-    def unet(batch, rng):
+    def unet(variables, batch, rng):
         from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
         from geoformer_tpu.ops.voxelize import voxel_mean_pool
 
@@ -89,12 +89,12 @@ def main():
             return mdl.backbone(vox, plan, False)
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
-    def bb(batch, rng):
+    def bb(variables, batch, rng):
         def run(mdl):
             return mdl.forward_backbone(batch, train=False)
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
-    def agg(batch, rng):
+    def agg(variables, batch, rng):
         def run(mdl):
             pf, ss, sp = mdl.forward_backbone(batch, train=False)
             fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
@@ -103,7 +103,7 @@ def main():
             return mdl.forward_aggregator(fg_locs, fg_feats, fg_valid, train=False)
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
-    def geo(batch, rng):
+    def geo(variables, batch, rng):
         def run(mdl):
             pf, ss, sp = mdl.forward_backbone(batch, train=False)
             fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
@@ -113,7 +113,7 @@ def main():
             return mdl.forward_geodesic(fg_locs, fg_valid, ci, cv, train=False)
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
-    def full(batch, rng):
+    def full(variables, batch, rng):
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["mask_logits"]
 
@@ -125,12 +125,12 @@ def main():
     for name in want:
         fn = jax.jit(stages[name])
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(batch, r))
+        out = jax.block_until_ready(fn(variables, batch, r))
         t_compile = time.perf_counter() - t0
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(batch, r))
+            jax.block_until_ready(fn(variables, batch, r))
             ts.append(time.perf_counter() - t0)
         print(f"{name:12s} compile+1st={t_compile:8.1f}s  run={np.median(ts) * 1000:9.1f}ms", flush=True)
 
