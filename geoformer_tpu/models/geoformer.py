@@ -292,7 +292,7 @@ class GeoFormerBase(nn.Module):
         # for near-zero effect
         return geodesic_distance(
             nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
-            symmetrize=False,
+            symmetrize=False, positions=fg_locs,  # spatial sweep ordering
         )  # [B, F, Q]
 
     # ---------------- decoder ----------------

@@ -107,6 +107,14 @@ def test_geodesic_matches_dijkstra():
         jnp.asarray(mask[None]), R, 64, rev_slots=P,  # exact symmetric closure
     )
     geo = np.asarray(geo[0])  # [P, Q]
+    # spatially-ordered fast sweeping reaches the same fixpoint
+    geo_sweep = np.asarray(geodesic_distance(
+        jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+        jnp.asarray(seeds[None]), jnp.asarray(seed_mask[None]),
+        jnp.asarray(mask[None]), R, 64, rev_slots=P,
+        positions=jnp.asarray(pts[None]),
+    )[0])
+    np.testing.assert_allclose(geo_sweep, geo, rtol=1e-5, atol=1e-5)
     # default reverse-edge cap: distances can only grow (dropped shortcuts),
     # and only slightly on this graph
     geo_capped = np.asarray(geodesic_distance(
