@@ -135,71 +135,38 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     w2 = jnp.pad(w2, ((0, 0), (0, pad_slots)), constant_values=INF)
     n_slabs = nb2.shape[1] // slab
 
-    # block adjacency for frontier gating: block b must re-relax only when a
-    # block it reads from (or itself) changed last pass — most passes the
-    # wavefront touches a couple of blocks, the rest are settled
-    src_block = jnp.minimum(nb2 // block_size, n_blocks)  # pad sink -> n_blocks
-    adj = jnp.any(
-        src_block.reshape(n_blocks, -1)[:, :, None]
-        == jnp.arange(n_blocks, dtype=jnp.int32)[None, None, :],
-        axis=1,
-    )
-    adj = adj | jnp.eye(n_blocks, dtype=bool)
-
-    def block_relax(b, d, inner=2):
-        """Relax all edges of block b against the current global dist;
-        `inner` rounds let intra-block chains advance. Returns (d, changed)."""
+    def block_relax(b, d):
+        """Relax all edges of block b against the current global dist."""
         base = b * block_size
         nb_b = jax.lax.dynamic_slice(nb2, (base, 0), (block_size, nb2.shape[1]))
         w_b = jax.lax.dynamic_slice(w2, (base, 0), (block_size, w2.shape[1]))
-        d0 = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
+        dblk = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
 
-        def one_inner(_, d):
-            dblk = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
+        def slab_step(si, dacc):
+            idx = jax.lax.dynamic_slice(nb_b, (0, si * slab), (block_size, slab))
+            wk = jax.lax.dynamic_slice(w_b, (0, si * slab), (block_size, slab))
+            cand = jnp.min(d[idx] + wk[..., None], axis=1)
+            return jnp.minimum(dacc, cand)
 
-            def slab_step(si, dacc):
-                idx = jax.lax.dynamic_slice(nb_b, (0, si * slab), (block_size, slab))
-                wk = jax.lax.dynamic_slice(w_b, (0, si * slab), (block_size, slab))
-                cand = jnp.min(d[idx] + wk[..., None], axis=1)
-                return jnp.minimum(dacc, cand)
-
-            dblk = jax.lax.fori_loop(0, n_slabs, slab_step, dblk)
-            return jax.lax.dynamic_update_slice(d, dblk, (base, 0))
-
-        d = jax.lax.fori_loop(0, inner, one_inner, d)
-        dnew = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
-        return d, jnp.any(dnew < d0)
+        dblk = jax.lax.fori_loop(0, n_slabs, slab_step, dblk)
+        return jax.lax.dynamic_update_slice(d, dblk, (base, 0))
 
     def one_pass(state):
-        dist, changed_blocks, it = state
-        active = jnp.any(adj & changed_blocks[None, :], axis=1)
-
-        def visit(i, carry, reverse):
-            d, ch = carry
-            b = jnp.where(reverse, n_blocks - 1 - i, i)
-
-            def do(d):
-                d2, c = block_relax(b, d)
-                return d2, ch.at[b].set(ch[b] | c)
-
-            return jax.lax.cond(active[b], do, lambda d: (d, ch), d)
-
-        ch0 = jnp.zeros((n_blocks,), bool)
-        dist, ch = jax.lax.fori_loop(
-            0, n_blocks, lambda i, c: visit(i, c, False), (dist, ch0)
+        dist, _, it = state
+        prev = dist
+        # forward sweep then backward sweep
+        dist = jax.lax.fori_loop(0, n_blocks, block_relax, dist)
+        dist = jax.lax.fori_loop(
+            0, n_blocks, lambda i, d: block_relax(n_blocks - 1 - i, d), dist
         )
-        dist, ch = jax.lax.fori_loop(
-            0, n_blocks, lambda i, c: visit(i, c, True), (dist, ch)
-        )
-        return dist, ch, it + 2
+        changed = jnp.any(dist < prev)
+        return dist, changed, it + 2
 
     def cond(state):
-        _, changed_blocks, it = state
-        return jnp.any(changed_blocks) & (it < n_steps)
+        _, changed, it = state
+        return changed & (it < n_steps)
 
-    dist, _, _ = jax.lax.while_loop(
-        cond, one_pass, (dist, jnp.ones((n_blocks,), bool), jnp.int32(0))
-    )
+    dist, _, _ = jax.lax.while_loop(cond, one_pass, (dist, jnp.bool_(True), jnp.int32(0)))
     dist = dist[inv]  # back to original point order ([P] rows of the padded table)
     reached = (dist < INF) & point_mask[:, None]
     return jnp.where(reached, dist, -1.0)
