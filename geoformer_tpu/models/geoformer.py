@@ -67,6 +67,7 @@ class ModelConfig:
     knn_neighbors: int = 64
     geodesic_radius: float = 0.05
     radius_cell_cap: int = 8
+    geodesic_int16: bool = True
     geodesic_steps_train: int = 128
     geodesic_steps_eval: int = 256
     ball_radius: float = 0.2
@@ -123,6 +124,7 @@ class ModelConfig:
             train_subsample=cfg.tpu_train_subsample,
             knn_neighbors=cfg.tpu_knn_neighbors,
             radius_cell_cap=cfg.tpu_radius_cell_cap,
+            geodesic_int16=cfg.tpu_geodesic_int16,
             geodesic_radius=cfg.tpu_geodesic_radius,
             geodesic_steps_train=cfg.tpu_geodesic_steps_train,
             geodesic_steps_eval=cfg.tpu_geodesic_steps_eval,
@@ -293,6 +295,7 @@ class GeoFormerBase(nn.Module):
         return geodesic_distance(
             nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
             symmetrize=False, positions=fg_locs,  # spatial sweep ordering
+            relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
         )  # [B, F, Q]
 
     # ---------------- decoder ----------------

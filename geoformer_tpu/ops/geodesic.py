@@ -82,7 +82,7 @@ def _spatial_order(positions, point_mask, radius):
 
 def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
                     rev_slots=None, symmetrize=True, positions=None,
-                    block_size=4096):
+                    block_size=4096, relax_dtype=None):
     p, k = nbr_idx.shape
     q = seeds.shape[0]
 
@@ -123,32 +123,62 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     nb2 = jnp.where(nb2 >= p, pp, nb2)  # pad sink moved to row pp
     n_blocks = pp // block_size
 
-    # dist [PP+1, Q]; row PP is a +inf pad sink
-    dist = jnp.full((pp + 1, q), INF, jnp.float32)
+    # optional int16 fixed-point relaxation table (~1mm resolution, 32m
+    # range): halves the gather traffic that dominates relaxation with no
+    # wavefront stall (bf16 would: its eps at 4m exceeds a 2cm hop).
+    # Per-hop rounding is to-nearest, so errors random-walk (~mm overall).
+    quant = relax_dtype == jnp.int16
+    RS = 1024.0  # units per meter (power of two)
+    INF_I = jnp.int16(32767)
+    if quant:
+        dist = jnp.full((pp + 1, q), INF_I, jnp.int16)
+    else:
+        dist = jnp.full((pp + 1, q), INF, jnp.float32)
     seed_cols = jnp.arange(q, dtype=jnp.int32)
     safe_seeds = jnp.where(seed_mask, inv[jnp.clip(seeds, 0, p - 1)], pp)
-    dist = dist.at[safe_seeds, seed_cols].min(0.0)
+    dist = dist.at[safe_seeds, seed_cols].min(
+        jnp.asarray(0, dist.dtype)
+    )
 
     slab = 8
     pad_slots = (-k2) % slab
     nb2 = jnp.pad(nb2, ((0, 0), (0, pad_slots)), constant_values=pp)
     w2 = jnp.pad(w2, ((0, 0), (0, pad_slots)), constant_values=INF)
     n_slabs = nb2.shape[1] // slab
+    if quant:
+        w2r = jnp.where(
+            w2 < INF, jnp.round(w2 * RS), jnp.float32(32767.0)
+        ).astype(jnp.int32)
+    else:
+        w2r = w2
+
+    # slabs past the last live edge slot are all-dead (radius_knn packs real
+    # edges first) — bound the slab loop dynamically on the live width
+    slot_live = jnp.any(w2 < INF, axis=0)  # [k2+pad]
+    last_live = jnp.max(
+        jnp.where(slot_live, jnp.arange(slot_live.shape[0], dtype=jnp.int32), -1)
+    )
+    n_slabs_live = jnp.minimum((last_live + slab) // slab, n_slabs)
 
     def block_relax(b, d):
         """Relax all edges of block b against the current global dist."""
         base = b * block_size
         nb_b = jax.lax.dynamic_slice(nb2, (base, 0), (block_size, nb2.shape[1]))
-        w_b = jax.lax.dynamic_slice(w2, (base, 0), (block_size, w2.shape[1]))
+        w_b = jax.lax.dynamic_slice(w2r, (base, 0), (block_size, w2r.shape[1]))
         dblk = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
 
         def slab_step(si, dacc):
             idx = jax.lax.dynamic_slice(nb_b, (0, si * slab), (block_size, slab))
             wk = jax.lax.dynamic_slice(w_b, (0, si * slab), (block_size, slab))
-            cand = jnp.min(d[idx] + wk[..., None], axis=1)
+            if quant:
+                # widen to int32 for the add, clip back to the int16 INF
+                cand32 = d[idx].astype(jnp.int32) + wk[..., None]
+                cand = jnp.minimum(jnp.min(cand32, axis=1), 32767).astype(jnp.int16)
+            else:
+                cand = jnp.min(d[idx] + wk[..., None], axis=1)
             return jnp.minimum(dacc, cand)
 
-        dblk = jax.lax.fori_loop(0, n_slabs, slab_step, dblk)
+        dblk = jax.lax.fori_loop(0, n_slabs_live, slab_step, dblk)
         return jax.lax.dynamic_update_slice(d, dblk, (base, 0))
 
     def one_pass(state):
@@ -167,13 +197,17 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
         return changed & (it < n_steps)
 
     dist, _, _ = jax.lax.while_loop(cond, one_pass, (dist, jnp.bool_(True), jnp.int32(0)))
-    dist = dist[inv]  # back to original point order ([P] rows of the padded table)
-    reached = (dist < INF) & point_mask[:, None]
-    return jnp.where(reached, dist, -1.0)
+    dist = dist[inv]  # back to original point order
+    if quant:
+        reached = (dist < INF_I) & point_mask[:, None]
+        return jnp.where(reached, dist.astype(jnp.float32) / RS, -1.0)
+    reached = (dist < INF * 0.5) & point_mask[:, None]
+    return jnp.where(reached, dist.astype(jnp.float32), -1.0)
 
 
 def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
-                      rev_slots=None, symmetrize=True, positions=None):
+                      rev_slots=None, symmetrize=True, positions=None,
+                      relax_dtype=None):
     """Multi-source geodesics over a kNN graph.
 
     nbr_idx  [B,P,K] int32 neighbor indices (self column already dropped)
@@ -192,11 +226,13 @@ def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n
     if positions is None:
         return jax.vmap(
             lambda ni, nd, s, sm, pm: _geodesic_scene(
-                ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize
+                ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize,
+                relax_dtype=relax_dtype,
             )
         )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask)
     return jax.vmap(
         lambda ni, nd, s, sm, pm, pos: _geodesic_scene(
-            ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize, pos
+            ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize, pos,
+            relax_dtype=relax_dtype,
         )
     )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions)

@@ -108,6 +108,7 @@ _DEFAULTS = dict(
     tpu_max_instances=64,       # gt instance capacity per scene
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
     tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
+    tpu_geodesic_int16=True,    # int16 mm fixed-point relaxation table
     tpu_geodesic_radius=0.05,   # edge gate (ref: 0.05)
     tpu_geodesic_steps_train=128,
     tpu_geodesic_steps_eval=256,

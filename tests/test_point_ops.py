@@ -171,3 +171,25 @@ def test_geodesic_no_symmetrize_on_radius_graph():
     a = np.asarray(geodesic_distance(*args, symmetrize=True)[0])
     b = np.asarray(geodesic_distance(*args, symmetrize=False)[0])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_geodesic_int16_close_to_fp32():
+    rng = np.random.default_rng(12)
+    P, NBR, Q, R = 200, 10, 8, 0.3
+    pts = rng.uniform(0, 1, size=(P, 3)).astype(np.float32)
+    mask = np.ones(P, bool)
+    d2, idx = knn(jnp.asarray(pts[None]), jnp.asarray(pts[None]), jnp.asarray(mask[None]), NBR + 1)
+    nbr_d = np.sqrt(np.asarray(d2[0])[:, 1:])
+    nbr_i = np.asarray(idx[0])[:, 1:]
+    seeds = np.arange(Q, dtype=np.int32)
+    sm = np.ones(Q, bool)
+    args = (jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+            jnp.asarray(seeds[None]), jnp.asarray(sm[None]),
+            jnp.asarray(mask[None]), R, 64)
+    full = np.asarray(geodesic_distance(*args, positions=jnp.asarray(pts[None]))[0])
+    q16 = np.asarray(geodesic_distance(*args, positions=jnp.asarray(pts[None]),
+                                       relax_dtype=jnp.int16)[0])
+    both = (full >= 0) & (q16 >= 0)
+    assert (full >= 0).sum() == (q16 >= 0).sum()
+    # mm-quantized path sums stay within a few mm of fp32
+    np.testing.assert_allclose(q16[both], full[both], atol=0.01)
