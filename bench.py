@@ -34,13 +34,13 @@ SCALES = {
     "full": dict(
         n_decode_point=2048, n_query_points=256, n_downsampling=50000,
         tpu_max_points=65536, tpu_max_voxels=65536, tpu_max_fg_points=32768,
-        tpu_knn_neighbors=64, tpu_geodesic_steps_eval=128, tpu_spatial_shape=512,
+        tpu_knn_neighbors=64, tpu_geodesic_steps_eval=64, tpu_spatial_shape=512,
         tpu_unet_depth=7, tpu_ball_nsample=64,
     ),
     "half": dict(
         n_decode_point=1024, n_query_points=128, n_downsampling=16384,
         tpu_max_points=32768, tpu_max_voxels=32768, tpu_max_fg_points=16384,
-        tpu_knn_neighbors=32, tpu_geodesic_steps_eval=64, tpu_spatial_shape=512,
+        tpu_knn_neighbors=32, tpu_geodesic_steps_eval=48, tpu_spatial_shape=512,
         tpu_unet_depth=7, tpu_ball_nsample=32,
     ),
     "small": dict(

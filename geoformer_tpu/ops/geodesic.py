@@ -82,7 +82,7 @@ def _spatial_order(positions, point_mask, radius):
 
 def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
                     rev_slots=None, symmetrize=True, positions=None,
-                    block_size=4096, relax_dtype=None):
+                    block_size=512, relax_dtype=None):
     p, k = nbr_idx.shape
     q = seeds.shape[0]
 

@@ -108,10 +108,13 @@ _DEFAULTS = dict(
     tpu_max_instances=64,       # gt instance capacity per scene
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
     tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
-    tpu_geodesic_int16=True,    # int16 mm fixed-point relaxation table
+    tpu_geodesic_int16=False,   # int16 mm fixed-point table (no speed win on v5e)
     tpu_geodesic_radius=0.05,   # edge gate (ref: 0.05)
-    tpu_geodesic_steps_train=128,
-    tpu_geodesic_steps_eval=256,
+    # sweep-units, not single hops: one forward+backward block sweep pair
+    # propagates many hops (see ops/geodesic.py); 64 units cover any
+    # room-scale scene beyond the reference BFS's 256-hop first-visit cap
+    tpu_geodesic_steps_train=32,
+    tpu_geodesic_steps_eval=64,
     tpu_spatial_shape=1024,     # voxel grid extent per axis (power of two)
     tpu_unet_depth=7,           # number of U-Net levels (ref: 7)
     tpu_ball_radius=0.2,        # set-aggregator ball radius (ref: 0.2)
