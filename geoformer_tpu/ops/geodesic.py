@@ -223,16 +223,21 @@ def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n
     scans (the reference's frontier BFS is itself approximate); pass
     rev_slots=P for the exact symmetric closure on small graphs.
     """
+    # lax.map, not vmap: the batched while/fori + dynamic slices of a
+    # vmapped body lower ~2.6x slower even at B=1 (batched DUS becomes
+    # scatter); the sequential unbatched body keeps the fast lowering
     if positions is None:
-        return jax.vmap(
-            lambda ni, nd, s, sm, pm: _geodesic_scene(
-                ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize,
-                relax_dtype=relax_dtype,
-            )
-        )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask)
-    return jax.vmap(
-        lambda ni, nd, s, sm, pm, pos: _geodesic_scene(
-            ni, nd, s, sm, pm, radius, n_steps, rev_slots, symmetrize, pos,
-            relax_dtype=relax_dtype,
+        return jax.lax.map(
+            lambda a: _geodesic_scene(
+                a[0], a[1], a[2], a[3], a[4], radius, n_steps, rev_slots,
+                symmetrize, relax_dtype=relax_dtype,
+            ),
+            (nbr_idx, nbr_dist, seeds, seed_mask, point_mask),
         )
-    )(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions)
+    return jax.lax.map(
+        lambda a: _geodesic_scene(
+            a[0], a[1], a[2], a[3], a[4], radius, n_steps, rev_slots,
+            symmetrize, a[5], relax_dtype=relax_dtype,
+        ),
+        (nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions),
+    )

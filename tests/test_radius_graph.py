@@ -53,3 +53,18 @@ def test_radius_knn_dense_cluster_cap():
     got_d = np.asarray(got_d[0])
     want_d, _ = _brute(pts, mask, 0.5, 4)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-7)
+
+
+def test_radius_knn_unsorted_same_edge_set():
+    rng = np.random.default_rng(2)
+    p, k, r = 300, 16, 0.12
+    pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
+    mask = np.ones(p, bool)
+    d_s, i_s = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                          cell_cap=16, sort=True)
+    d_u, i_u = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                          cell_cap=16, sort=False)
+    for q in range(p):
+        s = set(np.asarray(i_s[0][q])[np.asarray(d_s[0][q]) < 1e30].tolist())
+        u = set(np.asarray(i_u[0][q])[np.asarray(d_u[0][q]) < 1e30].tolist())
+        assert s == u, q
