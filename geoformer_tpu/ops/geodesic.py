@@ -25,7 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(3e38)
+INF = 3e38  # python float: a module-level jnp scalar is a device array that
+# re-stages through the device link on every call (~180ms tunnel RTT)
 
 
 def symmetrize_graph(nbr_idx: jax.Array, w: jax.Array, rev_slots: int | None = None):

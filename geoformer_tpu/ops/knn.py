@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e30)
+BIG = 1e30  # python float, NOT a jnp scalar (device-array constants re-stage per call)
 
 
 def _round_up(x, m):

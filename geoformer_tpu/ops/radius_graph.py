@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from geoformer_tpu.ops.voxelize import pack_key, voxelize
 
-_BIG = jnp.float32(1e30)
+_BIG = 1e30  # python float, NOT a jnp scalar (device-array constants re-stage per call)
 
 # 27 cell offsets (dz, dy, dx)
 _WINDOW = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]

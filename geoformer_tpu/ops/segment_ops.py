@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(3.4e38)
+BIG = 3.4e38  # python float, NOT a jnp scalar (device-array constants re-stage per call)
 
 
 def _segment_ids(offsets: jax.Array, n_rows: int) -> jax.Array:
