@@ -73,23 +73,31 @@ def measure(scale: str):
         lambda r, b: model.init(r, b, train=False)
     )({"params": k1, "sample": k2, "dropout": k3}, batch)
 
+    import jax.numpy as jnp
+
     # variables must be an ARGUMENT: jit-closure arrays become HLO
-    # constants that get re-staged through the device tunnel every call
+    # constants that get re-staged through the device tunnel every call.
+    # The result is reduced to one scalar and pulled to host each call:
+    # block_until_ready does NOT block on the axon tunnel backend, so only
+    # an actual D2H transfer observes completion.
     @jax.jit
     def fwd(variables, batch, rng):
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
-        return out["proposals"]["scores"], out["semantic_scores"]
+        return (
+            jnp.sum(out["proposals"]["scores"])
+            + jnp.sum(out["semantic_scores"][:, :64])
+        )
 
     r = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    jax.block_until_ready(fwd(variables, batch, r))
+    float(fwd(variables, batch, r))
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(8):
         r, sub = jax.random.split(r)
         t0 = time.perf_counter()
-        jax.block_until_ready(fwd(variables, batch, sub))
+        float(fwd(variables, batch, sub))
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.median(times))
