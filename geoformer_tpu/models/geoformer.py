@@ -38,7 +38,7 @@ from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
 from geoformer_tpu.ops.voxelize import devoxelize, voxel_mean_pool
 from geoformer_tpu.ops.knn import knn
 from geoformer_tpu.ops.radius_graph import radius_knn
-from geoformer_tpu.ops.geodesic import geodesic_distance
+from geoformer_tpu.ops.geodesic import geodesic_distance, geodesic_distance_hier
 from geoformer_tpu.parallel.mesh import maybe_shard
 
 
@@ -70,6 +70,12 @@ class ModelConfig:
     geodesic_int16: bool = True
     geodesic_steps_train: int = 128
     geodesic_steps_eval: int = 256
+    # two-level geodesic solve (ops/geodesic.py:_hier_scene): ~7-10x faster
+    # at eval scale, O(cell)-approximate (the reference field is itself a
+    # capped first-visit BFS approximation, geodesic_utils.py:91-164)
+    geodesic_hier: bool = True
+    geodesic_fine_sweeps: int = 6
+    geodesic_cell_factor: float = 2.0
     ball_radius: float = 0.2
     ball_nsample: int = 64
     test_score_thresh: float = 0.5
@@ -128,6 +134,9 @@ class ModelConfig:
             geodesic_radius=cfg.tpu_geodesic_radius,
             geodesic_steps_train=cfg.tpu_geodesic_steps_train,
             geodesic_steps_eval=cfg.tpu_geodesic_steps_eval,
+            geodesic_hier=cfg.tpu_geodesic_hier,
+            geodesic_fine_sweeps=cfg.tpu_geodesic_fine_sweeps,
+            geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
@@ -289,14 +298,29 @@ class GeoFormerBase(nn.Module):
         seeds = context_inds[:, :q]
         seed_mask = context_valid[:, :q]
         steps = mc.geodesic_steps_train if train else mc.geodesic_steps_eval
+        if mc.geodesic_hier:
+            # two-level solve: coarse cell-graph fixpoint + fixed fine
+            # sweeps — the production path (exact sweeps need ~100 passes
+            # over the [F,K] edge table at room scale)
+            geo = geodesic_distance_hier(
+                nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius,
+                steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
+                cell_factor=mc.geodesic_cell_factor,
+            )  # [B, F, Q]
+            # the [B,F,Q] table is the forward's biggest tensor and every
+            # consumer (rel-pos, mask head) is query-parallel: split Q over
+            # the model axis so dp x mp meshes divide it instead of
+            # replicating it
+            return maybe_shard(geo, "data", None, "model")
         # symmetrize=False: the radius-kNN graph is symmetric up to the K
         # cap, so the reverse-edge table would double relaxation traffic
         # for near-zero effect
-        return geodesic_distance(
+        geo = geodesic_distance(
             nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
             symmetrize=False, positions=fg_locs,  # spatial sweep ordering
             relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
         )  # [B, F, Q]
+        return maybe_shard(geo, "data", None, "model")
 
     # ---------------- decoder ----------------
 

@@ -206,6 +206,246 @@ def _geodesic_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_s
     return jnp.where(reached, dist.astype(jnp.float32), -1.0)
 
 
+def _prep_edges(nbr_idx, nbr_dist, point_mask, radius):
+    """Gate the kNN table to live radius edges: idx sink -> P, weight -> INF."""
+    p = nbr_idx.shape[0]
+    w = jnp.where(
+        (nbr_dist <= radius) & (nbr_idx >= 0) & (nbr_idx < p) & point_mask[:, None],
+        nbr_dist,
+        INF,
+    )
+    nb = jnp.clip(nbr_idx, 0, p - 1)
+    nb = jnp.where(w < INF, nb, p)
+    return nb, w
+
+
+def _block_sweeps(nb2, w2, dist, n_steps, block_size, early_exit=True):
+    """Alternating forward/backward Gauss-Seidel block sweeps over a padded
+    sorted edge table. nb2/w2 [PP, K2] (sink row = PP, slabs of 8 padded),
+    dist [PP+1, Q] f32. Runs until fixpoint or n_steps sweeps."""
+    pp = nb2.shape[0]
+    q = dist.shape[1]
+    n_blocks = pp // block_size
+    slab = 8
+    n_slabs = nb2.shape[1] // slab
+    slot_live = jnp.any(w2 < INF, axis=0)
+    last_live = jnp.max(
+        jnp.where(slot_live, jnp.arange(slot_live.shape[0], dtype=jnp.int32), -1)
+    )
+    n_slabs_live = jnp.minimum((last_live + slab) // slab, n_slabs)
+
+    def block_relax(b, d):
+        base = b * block_size
+        nb_b = jax.lax.dynamic_slice(nb2, (base, 0), (block_size, nb2.shape[1]))
+        w_b = jax.lax.dynamic_slice(w2, (base, 0), (block_size, w2.shape[1]))
+        dblk = jax.lax.dynamic_slice(d, (base, 0), (block_size, q))
+
+        def slab_step(si, dacc):
+            idx = jax.lax.dynamic_slice(nb_b, (0, si * slab), (block_size, slab))
+            wk = jax.lax.dynamic_slice(w_b, (0, si * slab), (block_size, slab))
+            cand = jnp.min(d[idx] + wk[..., None], axis=1)
+            return jnp.minimum(dacc, cand)
+
+        dblk = jax.lax.fori_loop(0, n_slabs_live, slab_step, dblk)
+        return jax.lax.dynamic_update_slice(d, dblk, (base, 0))
+
+    def pass_pair(d):
+        d = jax.lax.fori_loop(0, n_blocks, block_relax, d)
+        return jax.lax.fori_loop(
+            0, n_blocks, lambda i, dd: block_relax(n_blocks - 1 - i, dd), d
+        )
+
+    # NOTE: always the while_loop form, even for a fixed sweep budget —
+    # the identical pass body measured 3x slower per sweep under a
+    # fori_loop on v5e (XLA buffer scheduling), and the convergence
+    # compare costs ~0.2 ms/pass while enabling early exit.
+    del early_exit
+
+    def one_pass(state):
+        d, _, it = state
+        prev = d
+        d = pass_pair(d)
+        return d, jnp.any(d < prev), it + 2
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n_steps)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, one_pass, (dist, jnp.bool_(True), jnp.int32(0))
+    )
+    return dist
+
+
+def _pad_edges(nb, w, p, block_size, slab=8):
+    """Pad [P,K] edge tables to block/slab multiples; sink row P -> PP."""
+    pad_p = (-p) % block_size
+    pp = p + pad_p
+    nb = jnp.pad(nb, ((0, pad_p), (0, 0)), constant_values=pp)
+    w = jnp.pad(w, ((0, pad_p), (0, 0)), constant_values=INF)
+    nb = jnp.where(nb >= p, pp, nb)
+    pad_slots = (-nb.shape[1]) % slab
+    nb = jnp.pad(nb, ((0, 0), (0, pad_slots)), constant_values=pp)
+    w = jnp.pad(w, ((0, 0), (0, pad_slots)), constant_values=INF)
+    return nb, w, pp
+
+
+def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
+    """Contract the fine radius graph onto `cell`-sized voxel cells.
+
+    Coarse nodes are occupied cells, represented by their first member point
+    (so coarse distances are real graph-node distances). A coarse edge
+    (a, b) exists only where a *fine* edge crosses the two cells — walls and
+    gaps in the fine graph stay walls in the coarse graph (building cell
+    adjacency from cell proximity instead would bridge thin walls and leak
+    the geodesic field through them). Edge weight = fine edge + euclidean
+    point->rep corrections (locally-flat intra-cell approximation).
+
+    Returns (p2c [P] cell slot (c_cap = pad), rep [C] fine index of each
+    cell's representative, to_rep [P] euclid point->rep, cnb [C,kc],
+    cw [C,kc], cmask [C]).
+    """
+    from geoformer_tpu.ops.voxelize import _voxelize_scene
+
+    p = positions.shape[0]
+    big = 1e9
+    origin = jnp.min(jnp.where(point_mask[:, None], positions, big), axis=0)
+    cells = jnp.clip(jnp.floor((positions - origin) / cell).astype(jnp.int32), 0, 1023)
+    p2c, _, _, cmask, _, _, order, starts = _voxelize_scene(cells, point_mask, c_cap, 1024)
+
+    rep = order[jnp.minimum(starts[:c_cap], p - 1)]
+    rep = jnp.where(cmask, rep, p)
+    pos_pad = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
+    rep_pos = pos_pad[rep]
+    p2c_pad = jnp.concatenate([p2c, jnp.full((1,), c_cap, jnp.int32)])
+    rep_of_point = jnp.where(p2c < c_cap, rep[jnp.minimum(p2c, c_cap - 1)], p)
+    to_rep = jnp.linalg.norm(positions - pos_pad[rep_of_point], axis=-1)
+    to_rep = jnp.where(point_mask & (rep_of_point < p), to_rep, 0.0)
+    to_rep_pad = jnp.concatenate([to_rep, jnp.zeros((1,), to_rep.dtype)])
+
+    # fine edges (first k_sub slots: nearest-first packing) -> cell pairs.
+    # Weight = euclidean rep-to-rep: cells joined by a fine edge are
+    # adjacent at `cell` scale, where surfaces are locally flat, so the
+    # rep->rep geodesic ~ euclid; summing (rep->fine->fine->rep) instead
+    # would detour via both reps at every hop and inflate long paths ~50%.
+    nbs = nb[:, :k_sub]
+    ws = w[:, :k_sub]
+    ci = jnp.broadcast_to(p2c[:, None], nbs.shape)
+    cj = p2c_pad[nbs]
+    rep_pos_pad = jnp.concatenate([rep_pos, jnp.zeros((1, 3), rep_pos.dtype)])
+    wc = jnp.linalg.norm(
+        rep_pos_pad[jnp.minimum(ci, c_cap)] - rep_pos_pad[jnp.minimum(cj, c_cap)],
+        axis=-1,
+    )
+    live = (ws < INF) & (ci != cj) & (ci < c_cap) & (cj < c_cap)
+    sent = jnp.int32((c_cap + 1) * c_cap + c_cap)
+    skey = jnp.where(live, ci * (c_cap + 1) + cj, sent).reshape(-1)
+
+    e_order = jnp.argsort(skey)
+    skey_s = skey[e_order]
+    cj_s = cj.reshape(-1)[e_order]
+    wc_s = wc.reshape(-1)[e_order]
+    n_e = skey_s.shape[0]
+    prev = jnp.concatenate([jnp.full((1,), -1, skey_s.dtype), skey_s[:-1]])
+    head = (skey_s != prev) & (skey_s < sent)
+    hexc = jnp.cumsum(head.astype(jnp.int32)) - head.astype(jnp.int32)  # exclusive
+    ci_starts = jnp.searchsorted(
+        skey_s, jnp.arange(c_cap, dtype=jnp.int32) * (c_cap + 1)
+    ).astype(jnp.int32)
+    hexc_pad = jnp.concatenate([hexc, jnp.zeros((1,), jnp.int32)])
+    ci_s = jnp.minimum(skey_s // (c_cap + 1), c_cap - 1)
+    rank = hexc + head.astype(jnp.int32) - 1 - hexc_pad[jnp.minimum(ci_starts[ci_s], n_e)]
+    ok = head & (rank < kc)
+    slot = jnp.where(ok, ci_s * kc + rank, c_cap * kc)
+    cnb = jnp.full((c_cap * kc + 1,), c_cap, jnp.int32).at[slot].set(
+        jnp.where(ok, cj_s, c_cap), unique_indices=True, mode="promise_in_bounds"
+    )[: c_cap * kc].reshape(c_cap, kc)
+    cw = jnp.full((c_cap * kc + 1,), INF, jnp.float32).at[slot].set(
+        jnp.where(ok, wc_s, INF), unique_indices=True, mode="promise_in_bounds"
+    )[: c_cap * kc].reshape(c_cap, kc)
+    return p2c, rep, rep_pos, to_rep, cnb, cw, cmask
+
+
+def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
+                positions, n_steps, fine_sweeps=6, cell_factor=2.0,
+                c_cap=None, kc=32, k_sub=16, block_size=512):
+    """Two-level geodesic solve: coarse cell-graph fixpoint + prolongation +
+    a fixed number of fine sweeps.
+
+    The exact solver (_geodesic_scene) needs ~100 Gauss-Seidel sweeps on
+    room scans — each a full pass over the [P,K] edge table gathering [Q]
+    rows from HBM. Here the long-range propagation runs on a graph ~25x
+    smaller (occupied `cell_factor * radius` cells), and the fine table only
+    smooths local structure for `fine_sweeps` sweeps. The result is an
+    approximation: coarse paths take euclidean intra-cell shortcuts, so
+    values can deviate by O(cell) locally (the reference's own field is a
+    capped first-visit BFS, geodesic_utils.py:91-164 — also approximate).
+    The -1 unreached convention is preserved.
+    """
+    p, k = nbr_idx.shape
+    q = seeds.shape[0]
+    if c_cap is None:
+        c_cap = max(512, p // 8)
+    nb, w = _prep_edges(nbr_idx, nbr_dist, point_mask, radius)
+    cell = max(radius, 1e-4) * cell_factor
+    p2c, rep, rep_pos, to_rep, cnb, cw, cmask = _coarse_contract(
+        positions, point_mask, nb, w, cell, c_cap, kc, min(k_sub, k)
+    )
+
+    # ---- coarse solve: same block-sweep machinery on the cell graph.
+    # Cell slots are already packed-key (zyx) sorted by construction, which
+    # is exactly the fast-sweeping order, so no extra permutation.
+    cblock = min(block_size, max(c_cap // 8, 8))
+    cnb2, cw2, cpp = _pad_edges(cnb, cw, c_cap, cblock)
+    cdist = jnp.full((cpp + 1, q), INF, jnp.float32)
+    seed_cols = jnp.arange(q, dtype=jnp.int32)
+    safe = jnp.clip(seeds, 0, p - 1)
+    seed_cell = jnp.where(seed_mask, p2c[safe], cpp)
+    seed_cell = jnp.where(seed_cell >= c_cap, cpp, seed_cell)
+    cdist = cdist.at[seed_cell, seed_cols].min(
+        jnp.where(seed_mask, to_rep[safe], INF)
+    )
+    cdist = _block_sweeps(cnb2, cw2, cdist, n_steps, cblock, early_exit=True)
+
+    # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count)
+    perm = _spatial_order(positions, point_mask, cell * 2)
+    inv = jnp.argsort(perm).astype(jnp.int32)
+    inv_pad = jnp.concatenate([inv, jnp.full((1,), p, jnp.int32)])
+    nb_s = inv_pad[nb[perm]]
+    w_s = w[perm]
+    nb2, w2, pp = _pad_edges(nb_s, w_s, p, block_size)
+
+    cdist_pad = jnp.concatenate([cdist[:c_cap], jnp.full((1, q), INF, jnp.float32)])
+    p2c_sorted = jnp.where(p2c[perm] < c_cap, p2c[perm], c_cap)
+    d0 = cdist_pad[p2c_sorted] + to_rep[perm][:, None]
+    d0 = jnp.where(d0 < INF * 0.5, d0, INF)
+    d0 = jnp.pad(d0, ((0, pp - p + 1), (0, 0)), constant_values=INF)
+    safe_seeds = jnp.where(seed_mask, inv[safe], pp)
+    d0 = d0.at[safe_seeds, seed_cols].min(0.0)
+    dist = _block_sweeps(nb2, w2, d0, fine_sweeps, block_size, early_exit=False)
+
+    dist = dist[inv]
+    reached = (dist < INF * 0.5) & point_mask[:, None]
+    return jnp.where(reached, dist, -1.0)
+
+
+def geodesic_distance_hier(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
+                           n_steps, positions, fine_sweeps=6, cell_factor=2.0,
+                           kc=32, k_sub=16):
+    """Batched two-level approximate geodesics (see _hier_scene).
+
+    Same [B,P,Q] / -1 contract as geodesic_distance; `n_steps` bounds the
+    coarse solve (it converges and early-exits long before room-scale caps).
+    """
+    return jax.lax.map(
+        lambda a: _hier_scene(
+            a[0], a[1], a[2], a[3], a[4], radius, a[5], n_steps,
+            fine_sweeps=fine_sweeps, cell_factor=cell_factor, kc=kc, k_sub=k_sub,
+        ),
+        (nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions),
+    )
+
+
 def geodesic_distance(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius, n_steps,
                       rev_slots=None, symmetrize=True, positions=None,
                       relax_dtype=None):

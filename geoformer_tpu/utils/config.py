@@ -81,7 +81,11 @@ _DEFAULTS = dict(
     save_freq=10,
     save_freq_last=2,
     fix_module=[],
-    loss_weight=[1.0, 1.0, 1.0, 1.0],
+    loss_weight=[1.0, 1.0, 1.0, 1.0],  # PointGroup legacy (unused, kept for YAML compat)
+    # set-criterion term weights (reference hardwires 1/1/1, criterion.py:129-133)
+    loss_dice_weight=1.0,
+    loss_focal_weight=1.0,
+    loss_cls_weight=1.0,
     # TEST
     split="val",
     test_epoch=29999,
@@ -110,6 +114,11 @@ _DEFAULTS = dict(
     tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
     tpu_geodesic_int16=False,   # int16 mm fixed-point table (no speed win on v5e)
     tpu_geodesic_radius=0.05,   # edge gate (ref: 0.05)
+    # two-level geodesic: coarse cell-graph fixpoint + fine smoothing
+    # sweeps (ops/geodesic.py:_hier_scene) — ~7-10x faster at eval scale
+    tpu_geodesic_hier=True,
+    tpu_geodesic_fine_sweeps=6,
+    tpu_geodesic_cell_factor=2.0,
     # sweep-units, not single hops: one forward+backward block sweep pair
     # propagates many hops (see ops/geodesic.py); 64 units cover any
     # room-scale scene beyond the reference BFS's 256-hop first-visit cap

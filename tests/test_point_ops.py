@@ -193,3 +193,43 @@ def test_geodesic_int16_close_to_fp32():
     assert (full >= 0).sum() == (q16 >= 0).sum()
     # mm-quantized path sums stay within a few mm of fp32
     np.testing.assert_allclose(q16[both], full[both], atol=0.01)
+
+
+def test_geodesic_hier_close_to_exact():
+    """Two-level solve (coarse cell graph + fine sweeps) tracks the exact
+    field within O(cell) on a surface-like scan and preserves -1/reach."""
+    from geoformer_tpu.ops.geodesic import geodesic_distance_hier
+    from geoformer_tpu.ops.radius_graph import radius_knn
+
+    rng = np.random.default_rng(13)
+    # surface-like scan: floor + wall at ~2.5cm spacing (the hier solve's
+    # locally-flat intra-cell assumption is about this regime)
+    n = 1024
+    floor = np.stack([rng.uniform(0, 0.8, n), rng.uniform(0, 0.8, n),
+                      np.zeros(n)], axis=1)
+    wall = np.stack([rng.uniform(0, 0.8, n), np.zeros(n),
+                     rng.uniform(0, 0.5, n)], axis=1)
+    pts = np.concatenate([floor, wall]).astype(np.float32)
+    pts += rng.normal(0, 0.002, pts.shape).astype(np.float32)
+    P = pts.shape[0]
+    mask = np.ones(P, bool)
+    K, R, Q = 32, 0.05, 16
+    d2, idx = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), R, K, cell_cap=16)
+    nbr_d = np.sqrt(np.minimum(np.asarray(d2[0]), 4.0))
+    nbr_i = np.asarray(idx[0])
+    seeds = rng.choice(P, Q, replace=False).astype(np.int32)
+    sm = np.ones(Q, bool)
+    args = (jnp.asarray(nbr_i[None]), jnp.asarray(nbr_d[None]),
+            jnp.asarray(seeds[None]), jnp.asarray(sm[None]),
+            jnp.asarray(mask[None]), R, 600)
+    exact = np.asarray(geodesic_distance(
+        *args, symmetrize=False, positions=jnp.asarray(pts[None]))[0])
+    hier = np.asarray(geodesic_distance_hier(
+        *args, jnp.asarray(pts[None]), fine_sweeps=6)[0])
+    assert np.mean((exact >= 0) == (hier >= 0)) > 0.995
+    both = (exact >= 0) & (hier >= 0)
+    err = np.abs(hier[both] - exact[both])
+    assert err.mean() < 0.08, err.mean()
+    assert np.percentile(err, 95) < 0.2, np.percentile(err, 95)
+    # seed rows are exact zeros
+    assert np.allclose(hier[seeds, np.arange(Q)], 0.0, atol=1e-6)
