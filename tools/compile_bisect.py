@@ -123,14 +123,22 @@ def main():
 
     r = jax.random.PRNGKey(1)
     for name in want:
-        fn = jax.jit(stages[name])
+        # reduce every stage output to ONE scalar and pull it to host:
+        # block_until_ready is a no-op on the tunnel TPU backend, so only a
+        # D2H transfer observes completion (same trick as bench.py)
+        def scalarized(variables, batch, rng, _fn=stages[name]):
+            out = _fn(variables, batch, rng)
+            leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+            return sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves)
+
+        fn = jax.jit(scalarized)
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(variables, batch, r))
+        float(fn(variables, batch, r))
         t_compile = time.perf_counter() - t0
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(variables, batch, r))
+            float(fn(variables, batch, r))
             ts.append(time.perf_counter() - t0)
         print(f"{name:12s} compile+1st={t_compile:8.1f}s  run={np.median(ts) * 1000:9.1f}ms", flush=True)
 

@@ -93,19 +93,23 @@ def dense_conv(sd, prefix):
     return out
 
 
-def convert(sd: dict, cfg, kernel_order="xyz", mirror=False, few_shot=False):
-    """Returns (params, batch_stats, constants) trees in our naming."""
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_backbone(sd: dict, cfg, kernel_order="xyz", mirror=False):
+    """Backbone (input conv + UBlock + output BN) + semantic head subtrees.
+
+    Split out so parity tests can convert a backbone-only state_dict (the
+    full-model golden test runs the reference backbone through a CPU spconv
+    shim and must not require the other heads' keys)."""
     m = cfg.m
-    dec = cfg.dec_dim
     params: dict = {}
     stats: dict = {}
-    consts: dict = {}
-
-    def put(tree, path, value):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = value
+    put = _put
 
     sw = lambda key: subm_weight(sd[key], kernel_order, mirror)
 
@@ -194,6 +198,15 @@ def convert(sd: dict, cfg, kernel_order="xyz", mirror=False, few_shot=False):
     put(params, ("semantic", "MaskedBatchNorm_1"), p)
     put(stats, ("semantic", "MaskedBatchNorm_1"), s)
     put(params, ("semantic", "Dense_2"), dense(sd, "semantic_linear"))
+    return params, stats
+
+
+def convert(sd: dict, cfg, kernel_order="xyz", mirror=False, few_shot=False):
+    """Returns (params, batch_stats, constants) trees in our naming."""
+    dec = cfg.dec_dim
+    params, stats = convert_backbone(sd, cfg, kernel_order, mirror)
+    consts: dict = {}
+    put = _put
 
     # ---- mask tower ----
     for i in range(3):
