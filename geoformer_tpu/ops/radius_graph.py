@@ -55,7 +55,8 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     nc = own[:, None, :] + offs[None, :, :]  # [P,27,3]
     in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & mask[:, None]
     nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-    cidx = jnp.searchsorted(cell_keys, nkey).astype(jnp.int32)
+    # method="sort" beats XLA's binary-search lowering ~5x at [P,27] scale
+    cidx = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
     cidx = jnp.minimum(cidx, p - 1)
     found = in_range & (cell_keys[cidx] == nkey) & (cidx < n_cells)
     cidx = jnp.where(found, cidx, p)  # pad cell
