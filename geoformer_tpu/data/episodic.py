@@ -19,6 +19,39 @@ from geoformer_tpu.data.collate import pad_batch
 from geoformer_tpu.data.scannet import FOLD
 
 
+def region_crop_instance(xyz, instance_label, instance_id, scale_factor=2):
+    """Indices of points inside the instance's padded bbox, scaled.
+
+    Port of the reference support crop (scannetv2_fs_inst.py:293-328,
+    get_region_inst): bbox of the instance +0.1 pad per axis, extents
+    scaled by scale_factor (halved internally like the reference;
+    scale_factor=-1 keeps everything)."""
+    half = scale_factor / 2
+    if half == -1:
+        return np.arange(xyz.shape[0])
+    inst = xyz[instance_label == instance_id]
+    lo, hi = inst.min(0), inst.max(0)
+    mid = (lo + hi) / 2
+    size = hi - lo + 0.1
+    keep = np.all(
+        (xyz >= mid - size * half) & (xyz <= mid + size * half), axis=1
+    )
+    return np.nonzero(keep)[0]
+
+
+def sphere_crop_instance(xyz, instance_label, instance_id, scale_factor=2):
+    """Sphere variant (scannetv2_fs_inst.py:277-291, get_sphere_inst):
+    ball around the instance centroid with radius = scaled max extent."""
+    half = scale_factor / 2
+    if half == -1:
+        return np.arange(xyz.shape[0])
+    inst = xyz[instance_label == instance_id]
+    centroid = inst.mean(0)
+    radius = half * np.linalg.norm(inst - centroid, axis=1).max()
+    keep = np.linalg.norm(xyz - centroid, axis=1) <= radius
+    return np.nonzero(keep)[0]
+
+
 class FSInstDataset:
     def __init__(self, cfg, split_set="train"):
         self.cfg = cfg
@@ -89,10 +122,24 @@ class FSInstDataset:
             "instance_labels": instance_label,
         }
 
-    def _support_scene(self, scene_name, instance_id, rng):
+    def _support_scene(self, scene_name, instance_id, rng, region_crop=False):
+        """Support scene; region_crop=True crops to the instance bbox x1
+        region like the reference's load_single_block path
+        (scannetv2_fs_inst.py:367-395, used by testMergeFS when
+        fix_support is off). Training supports and the frozen-support-set
+        path feed the full scene (load_single(support=True), :470 and
+        test_fs.py:67). `cfg.full_scale_support` (a minimum dynamic
+        spatial shape in the reference) is subsumed by our static
+        tpu_spatial_shape padding."""
         xyz_middle, xyz, rgb, label, instance_label = self.load_single(
             scene_name, rng, aug=False, crop=False
         )
+        if region_crop:
+            keep = region_crop_instance(xyz_middle, instance_label, instance_id, scale_factor=1)
+            xyz_middle, rgb = xyz_middle[keep], rgb[keep]
+            label, instance_label = label[keep], instance_label[keep]
+            xyz = xyz_middle * self.scale
+            xyz -= xyz.min(0)
         mask = (instance_label == instance_id).astype(np.int32)
         return {
             "points": xyz_middle.astype(np.float32),
@@ -106,9 +153,14 @@ class FSInstDataset:
     # ------------- train episodes -------------
 
     def train_batches(self, batch_size, seed=0, epochs=1):
-        rng = np.random.default_rng(seed)
-        pyrng = random.Random(seed)
-        n_batches = max(len(self) // batch_size, 1)
+        # rank-offset RNGs -> disjoint episode streams per process
+        # (replaces the reference's rank-seeded DistributedSampler,
+        # train.py:169-171 + util/dataloader_util.py:100-157)
+        from geoformer_tpu.parallel.dist import get_world_size, local_seed
+
+        rng = np.random.default_rng(local_seed(seed))
+        pyrng = random.Random(local_seed(seed))
+        n_batches = max(len(self) // (batch_size * get_world_size()), 1)
         for _ in range(epochs):
             for _ in range(n_batches):
                 queries, supports, infos = [], [], []
@@ -167,7 +219,11 @@ class FSInstDataset:
             }
             yield name, active, query_by_class
 
-    def support_batch(self, scene_name, instance_id, rng=None):
+    def support_batch(self, scene_name, instance_id, rng=None, region_crop=None):
         rng = rng or np.random.default_rng(self.cfg.test_seed)
-        sup = self._support_scene(scene_name, instance_id, rng)
+        # per-scene (non-frozen) test supports use the bbox region crop,
+        # matching testMergeFS's fix_support=False branch
+        if region_crop is None:
+            region_crop = not getattr(self.cfg, "fix_support", True)
+        sup = self._support_scene(scene_name, instance_id, rng, region_crop=region_crop)
         return pad_batch([sup], self.cfg.tpu_max_points, rng)

@@ -110,3 +110,37 @@ def test_crop_to_budget():
     out2, valid2 = crop_to_budget(xyz2, 400, 512, rng)
     assert valid2.sum() <= 400
     assert (out2[valid2] >= 0).all() and (out2[valid2] < 512).all()
+
+
+def test_support_region_crop_matches_reference_math():
+    """region/sphere crops reproduce the reference formulas
+    (scannetv2_fs_inst.py:277-328) on a synthetic scene."""
+    import numpy as np
+    from geoformer_tpu.data.episodic import region_crop_instance, sphere_crop_instance
+
+    rng = np.random.default_rng(7)
+    xyz = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    inst = np.full(500, -100, np.int32)
+    inst[:40] = 3
+    xyz[:40] = rng.uniform(0.2, 0.6, size=(40, 3))  # compact instance blob
+
+    for sf in (1, 2):
+        keep = region_crop_instance(xyz, inst, 3, scale_factor=sf)
+        pc = xyz[inst == 3]
+        lo, hi = pc.min(0), pc.max(0)
+        mid, size = (lo + hi) / 2, (hi - lo + 0.1)
+        expect = np.nonzero(np.all(
+            (xyz >= mid - size * sf / 2) & (xyz <= mid + size * sf / 2), axis=1
+        ))[0]
+        np.testing.assert_array_equal(keep, expect)
+        assert set(np.nonzero(inst == 3)[0]) <= set(keep.tolist())  # instance kept
+
+    keep = sphere_crop_instance(xyz, inst, 3, scale_factor=2)
+    pc = xyz[inst == 3]
+    c = pc.mean(0)
+    r = np.linalg.norm(pc - c, axis=1).max()
+    expect = np.nonzero(np.linalg.norm(xyz - c, axis=1) <= r)[0]
+    np.testing.assert_array_equal(keep, expect)
+
+    # scale_factor=-2 (half=-1): keep everything, reference escape hatch
+    assert region_crop_instance(xyz, inst, 3, scale_factor=-2).shape[0] == 500
