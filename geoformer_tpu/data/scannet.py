@@ -106,10 +106,16 @@ class InstDataset:
         }
 
     def train_batches(self, batch_size, seed=0, epochs=1):
-        """Generator of padded training batches (shuffled, drop_last)."""
-        rng = np.random.default_rng(seed)
-        for _ in range(epochs):
-            order = rng.permutation(len(self))
+        """Generator of padded training batches (shuffled, drop_last).
+
+        Multi-process runs get a per-process strided shard of the same
+        global shuffle (DistributedSampler semantics,
+        util/dataloader_util.py:100-157) and a rank-offset augment RNG."""
+        from geoformer_tpu.parallel.dist import local_seed, shard_indices
+
+        rng = np.random.default_rng(local_seed(seed))
+        for e in range(epochs):
+            order = shard_indices(len(self), batch_size, seed + e)
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 scenes = [self.build_scene(j, rng, True) for j in order[i : i + batch_size]]
                 yield pad_batch(scenes, self.cfg.tpu_max_points, rng)

@@ -8,11 +8,17 @@ import sys
 import time
 
 
-def create_logger(exp_path: str | None = None, name: str = "geoformer_tpu") -> logging.Logger:
+def create_logger(exp_path: str | None = None, name: str = "geoformer_tpu",
+                  primary: bool = True) -> logging.Logger:
+    """primary=False (non-rank-0 process) logs warnings only, no file —
+    the reference's rank-0 logging gate (util/dist.py:36-49)."""
     logger = logging.getLogger(name)
-    logger.setLevel(logging.INFO)
+    logger.setLevel(logging.INFO if primary else logging.WARNING)
     logger.propagate = False
     if logger.handlers:
+        return logger
+    if not primary:
+        logger.addHandler(logging.NullHandler())
         return logger
 
     fmt = logging.Formatter("[%(asctime)s  %(levelname)s  %(filename)s  line %(lineno)d]  %(message)s")

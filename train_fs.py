@@ -62,11 +62,16 @@ def train_one_epoch(engine, state, dataset, epoch, logger, rng_seed, writer=None
 
 
 def main():
+    from geoformer_tpu.parallel.dist import init_distributed, is_primary, local_seed
+
     cfg = config_from_args()
+    init_distributed()
+    primary = is_primary()
     exp_path = os.path.join(cfg.output_path, cfg.exp_name)
-    logger = create_logger(exp_path)
-    writer = ScalarWriter(exp_path)
-    np.random.seed(cfg.manual_seed)
+    # rank-0-only logging/artifacts (reference util/dist.py:36-49 gate)
+    logger = create_logger(exp_path if primary else None, primary=primary)
+    writer = ScalarWriter(exp_path) if primary else None
+    np.random.seed(local_seed(cfg.manual_seed))
 
     engine = Engine(cfg, few_shot=True)
     dataset = FSInstDataset(cfg, "train")
@@ -92,10 +97,11 @@ def main():
 
     for epoch in range(start_epoch, cfg.epochs + 1):
         state = train_one_epoch(engine, state, dataset, epoch, logger, cfg.manual_seed, writer)
-        payload = state_payload(state, epoch)
-        if epoch % cfg.save_freq == 0:
-            save_checkpoint(checkpoint_path(exp_path, epoch), payload)
-        save_checkpoint(checkpoint_path(exp_path), payload)
+        if primary:  # single checkpoint writer across processes
+            payload = state_payload(state, epoch)
+            if epoch % cfg.save_freq == 0:
+                save_checkpoint(checkpoint_path(exp_path, epoch), payload)
+            save_checkpoint(checkpoint_path(exp_path), payload)
 
 
 if __name__ == "__main__":
