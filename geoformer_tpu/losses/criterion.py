@@ -62,6 +62,13 @@ class InstSetCriterion:
         self.n_queries = cfg.n_query_points
         self.ignore = cfg.ignore_label
         self.sem_fixed = "semantic" in cfg.fix_module or "semantic_linear" in cfg.fix_module
+        # the reference hardwires {dice: 1, focal: 1, cls: 1}
+        # (criterion.py:129-133; its cfg.loss_weight list is PointGroup
+        # legacy for losses this model doesn't compute). We expose the same
+        # dict as config, defaults bit-identical.
+        self.w_dice = getattr(cfg, "loss_dice_weight", 1.0)
+        self.w_focal = getattr(cfg, "loss_focal_weight", 1.0)
+        self.w_cls = getattr(cfg, "loss_cls_weight", 1.0)
 
     def __call__(self, outputs, batch, epoch):
         cfg = self.cfg
@@ -136,7 +143,7 @@ class InstSetCriterion:
         total_dice = total_focal = total_cls = 0.0
         for l in range(n_layers):
             d, f, c = layer_loss(mask_logits[l], cls_logits[l])
-            total = d + f + c
+            total = self.w_dice * d + self.w_focal * f + self.w_cls * c
             loss = loss + total
             if l == n_layers - 1:
                 loss_dict.update({"dice_loss": d, "focal_loss": f, "cls_loss": c})

@@ -80,6 +80,10 @@ class FSInstSetCriterion:
         self.max_inst = cfg.tpu_max_instances
         self.negative_ratio = cfg.negative_ratio
         self.cal_simloss = "similarity_net" not in cfg.fix_module
+        # reference hardwires {dice: 1, focal: 1} (criterion_fs.py:107-111);
+        # exposed as config with bit-identical defaults
+        self.w_dice = getattr(cfg, "loss_dice_weight", 1.0)
+        self.w_focal = getattr(cfg, "loss_focal_weight", 1.0)
 
     def __call__(self, outputs, batch, epoch):
         cfg = self.cfg
@@ -127,7 +131,7 @@ class FSInstSetCriterion:
 
         for l in range(mask_logits.shape[0]):
             d, f = layer_loss(mask_logits[l])
-            loss = loss + d + f
+            loss = loss + self.w_dice * d + self.w_focal * f
             if l == mask_logits.shape[0] - 1:
                 loss_dict.update({"dice_loss": d, "focal_loss": f})
 
