@@ -27,9 +27,28 @@ import time
 
 import numpy as np
 
-REFERENCE_SCENES_PER_SEC = 2.5  # estimated reference per-scene rate (BASELINE.md TBD)
+# No measured reference baseline exists: the repo publishes no numbers, and
+# this environment has no GPU / reference checkpoint / egress to produce one
+# (BASELINE.md). `vs_baseline` is therefore null. DERIVED_REFERENCE_RATE is
+# an op-count reconstruction of the reference's per-scene eval rate on its
+# era GPU (BASELINE.md "Derived reference bound"): dominated by the dynamic
+# frontier BFS (<=256 serial steps of torch.unique/gather on ~1-10M-pair
+# frontiers) plus FAISS 64-NN at 250k points — ~0.6-1.5 s/scene -> ~1.0
+# scenes/s mid-estimate, reported separately as `vs_derived_bound`.
+REFERENCE_SCENES_PER_SEC = None          # measured: none available
+DERIVED_REFERENCE_RATE = 1.0             # scenes/s, derived (see BASELINE.md)
 
 SCALES = {
+    # reference eval capacity (max_npoint=250000, scannetv2_inst.py:206-222,
+    # production configs' tpu_max_points): run via `python bench.py --scale
+    # prod`; the default fallback chain starts at "full" so round-over-round
+    # headline numbers stay comparable
+    "prod": dict(
+        n_decode_point=2048, n_query_points=256, n_downsampling=50000,
+        tpu_max_points=250000, tpu_max_voxels=131072, tpu_max_fg_points=131072,
+        tpu_knn_neighbors=64, tpu_geodesic_steps_eval=64, tpu_spatial_shape=512,
+        tpu_unet_depth=7, tpu_ball_nsample=64,
+    ),
     # production-shaped eval scene (one chip)
     "full": dict(
         n_decode_point=2048, n_query_points=256, n_downsampling=50000,
@@ -50,7 +69,7 @@ SCALES = {
         tpu_unet_depth=5, tpu_ball_nsample=16,
     ),
 }
-TIMEOUTS = {"full": 2400, "half": 1500, "small": 900}
+TIMEOUTS = {"prod": 3000, "full": 2400, "half": 1500, "small": 900}
 
 
 def measure(scale: str):
@@ -102,13 +121,20 @@ def measure(scale: str):
 
     p50 = float(np.median(times))
     scenes_per_sec = 1.0 / p50
+    vs_baseline = (
+        round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 4)
+        if REFERENCE_SCENES_PER_SEC
+        else None
+    )
     print(
         json.dumps(
             {
                 "metric": "scene_inference",
                 "value": round(scenes_per_sec, 4),
                 "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 4),
+                "vs_baseline": vs_baseline,
+                "baseline": "unmeasured (no ref ckpt/GPU here; see BASELINE.md)",
+                "vs_derived_bound": round(scenes_per_sec / DERIVED_REFERENCE_RATE, 4),
                 "p50_latency_s": round(p50, 4),
                 "compile_s": round(compile_s, 1),
                 "scale": scale,
@@ -129,7 +155,10 @@ def main():
     # overwriting it silently falls back to CPU
     prev = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ, PYTHONPATH=f"{here}:{prev}" if prev else here)
-    for scale in ("full", "half", "small"):
+    chain = ("full", "half", "small")
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale":
+        chain = (sys.argv[2],)
+    for scale in chain:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker", scale],
@@ -145,7 +174,7 @@ def main():
                 return
         print(f"# scale={scale} failed: {(proc.stderr or '')[-400:]}", file=sys.stderr)
     print(json.dumps({"metric": "scene_inference", "value": 0.0,
-                      "unit": "scenes/sec", "vs_baseline": 0.0,
+                      "unit": "scenes/sec", "vs_baseline": None,
                       "error": "all scales failed"}))
 
 
