@@ -81,6 +81,11 @@ class ModelConfig:
     test_score_thresh: float = 0.5
     test_npoint_thresh: int = 100
     similarity_thresh: float = 0.5
+    # live-packed subm slot count (27 = exact/off). Surface scans peak ~18
+    # live neighbors so 20 would be lossless, but the one-hot weight
+    # routing lowers to per-voxel tiny GEMMs and measured slower than the
+    # full conv on v5e — default off, kept as an option
+    subm_k: int = 27
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
@@ -141,6 +146,7 @@ class ModelConfig:
             ball_nsample=cfg.tpu_ball_nsample,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
+            subm_k=cfg.tpu_subm_k,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
         )
@@ -155,7 +161,23 @@ def pack_by_mask(mask: jax.Array, capacity: int):
 
 def random_pack_by_mask(mask: jax.Array, capacity: int, rng: jax.Array):
     """Random subsample of valid entries (np.random.choice replace=False
-    semantics, geoformer.py:575-580 / geoformer_modules.py:165-186)."""
+    semantics, geoformer.py:575-580 / geoformer_modules.py:165-186).
+
+    Both call sites pass a PACKED prefix mask (fg_valid from
+    foreground_pack), so when capacity covers the whole array the
+    subsample set is the identity and the sort-based shuffle reduces to a
+    random rotation of the valid prefix — downstream FPS still starts at
+    a random foreground point, without a ~35 ms device sort. (With a
+    non-prefix mask this path still returns correct validity flags, just
+    without packing.)"""
+    p = mask.shape[0]
+    if capacity >= p:
+        # capacity clamps to p like the original order[:capacity] slice
+        n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+        r = jax.random.randint(rng, (), 0, n_valid)
+        pos = jnp.arange(p, dtype=jnp.int32)
+        idx = jnp.where(pos < n_valid, (pos + r) % n_valid, pos)
+        return idx, mask[idx]
     scores = jnp.where(mask, jax.random.uniform(rng, mask.shape), 2.0)
     order = jnp.argsort(scores)
     idx = order[:capacity].astype(jnp.int32)
@@ -215,7 +237,10 @@ class GeoFormerBase(nn.Module):
     def forward_backbone(self, batch, train: bool):
         mc = self.mc
         caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
-        plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps)
+        plan = build_grid_plan(
+            batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps,
+            subm_k=mc.subm_k if mc.subm_k < 27 else None,
+        )
         feats = batch["feats"]
         if mc.use_coords:
             feats = jnp.concatenate([feats, batch["points"]], axis=-1)

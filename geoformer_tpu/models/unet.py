@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
-from geoformer_tpu.ops.sparse_conv import GridPlan, dense_1x1, down_conv, subm_conv, up_conv
+from geoformer_tpu.ops.sparse_conv import GridPlan, apply_subm, dense_1x1, down_conv, subm_conv, up_conv
 
 
 def _subm_param(module, name, cin, cout):
@@ -46,12 +46,12 @@ class ResidualBlock(nn.Module):
             identity = dense_1x1(feats, wi)
         x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
         x = nn.relu(x)
-        x = subm_conv(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels),
-                      compute_dtype=self.compute_dtype)
+        x = apply_subm(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels),
+                       compute_dtype=self.compute_dtype)
         x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
         x = nn.relu(x)
-        x = subm_conv(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels),
-                      compute_dtype=self.compute_dtype)
+        x = apply_subm(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels),
+                       compute_dtype=self.compute_dtype)
         x = x + identity
         return jnp.where(vmask[..., None], x, 0.0)
 
@@ -105,7 +105,8 @@ class UBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
         lvl = self.level
-        nbr = plan.subm[lvl]
+        # live-packed slot tables when the plan carries them (tpu_subm_k)
+        nbr = plan.subm_compact[lvl] if plan.subm_compact else plan.subm[lvl]
         vmask = plan.grids[lvl].voxel_mask
         c0 = self.n_planes[0]
         # rematerialize residual blocks during training to trade FLOPs for
@@ -185,7 +186,8 @@ class SparseUNetBackbone(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, voxel_feats.shape[-1], self.m),
         )
-        x = subm_conv(voxel_feats, plan.subm[0], w_in, compute_dtype=self.compute_dtype)
+        nbr0 = plan.subm_compact[0] if plan.subm_compact else plan.subm[0]
+        x = apply_subm(voxel_feats, nbr0, w_in, compute_dtype=self.compute_dtype)
         x = jnp.where(vmask0[..., None], x, 0.0)
 
         planes = [self.m * (i + 1) for i in range(self.depth)]

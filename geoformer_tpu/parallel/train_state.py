@@ -57,6 +57,11 @@ def make_optimizer(cfg, params) -> optax.GradientTransformation:
         inner = optax.inject_hyperparams(sgd_wd)(
             learning_rate=cfg.lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay
         )
+    # multi_transform wraps each branch in optax.masked, so the Adam moment
+    # state for frozen modules is optax.MaskedNode — no arrays are
+    # allocated for them (verified: freezing "unet" leaves zero moment
+    # buffers under the backbone subtree), matching the reference's
+    # build-optimizer-over-trainable-params memory footprint.
     return optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels
     )

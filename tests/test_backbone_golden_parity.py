@@ -141,6 +141,7 @@ def test_backbone_golden_parity(ref_backbone_modules):
         None, batch_size=1, m=m, classes=classes, tpu_max_points=1024,
         tpu_max_voxels=1024, tpu_unet_depth=depth, tpu_spatial_shape=spatial,
         tpu_voxel_decay=1.0,
+        tpu_subm_k=27,  # dense blob: interior voxels have all 27 neighbors
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)

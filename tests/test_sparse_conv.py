@@ -119,3 +119,35 @@ def test_grid_plan_shapes():
     c1 = np.asarray(plan.grids[1].voxel_coords)
     m1 = np.asarray(plan.grids[1].voxel_mask)
     assert c1[m1].max() < S // 2
+
+
+def test_subm_compact_matches_full():
+    """Live-packed slot tables reproduce the full 27-slot conv whenever the
+    per-voxel live count fits the cap (the surface-scan regime)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from geoformer_tpu.ops.sparse_conv import (
+        build_subm_neighbors, compact_subm_neighbors, subm_conv, subm_conv_compact,
+    )
+    from geoformer_tpu.ops.voxelize import voxelize
+
+    rng = np.random.default_rng(9)
+    # surface-like sheet: sparse in z -> live counts well under 27
+    n, sp = 300, 32
+    xy = rng.integers(0, sp, (n, 2))
+    z = rng.integers(0, 3, (n, 1))
+    coords = np.unique(np.concatenate([xy, z], axis=1), axis=0).astype(np.int32)
+    v = coords.shape[0]
+    mask = np.ones(v, bool)
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), v, sp)
+    nbr = build_subm_neighbors(grid, sp)
+    live_max = int(jnp.max(jnp.sum(nbr[0] < v, axis=1)))
+    k = live_max + 2
+    idx, oid = compact_subm_neighbors(nbr, k)
+
+    feats = jnp.asarray(rng.normal(size=(1, v, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32) * 0.1)
+    full = subm_conv(feats, nbr, w)
+    comp = subm_conv_compact(feats, idx, oid, w)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(full), rtol=1e-5, atol=1e-5)
