@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from geoformer_tpu.losses.matcher import (
     build_gt_instances,
     dice_cost,
+    auction_assign,
     hungarian_assign,
 )
 
@@ -66,6 +67,15 @@ class InstSetCriterion:
         # (criterion.py:129-133; its cfg.loss_weight list is PointGroup
         # legacy for losses this model doesn't compute). We expose the same
         # dict as config, defaults bit-identical.
+        # device-side auction matcher by default: no host callback in the
+        # train step (pure_callback is rejected outright by the tunnel TPU
+        # runtime, and on any backend it removes the per-step host bounce
+        # the reference takes at matcher.py:122-124)
+        self._assign = (
+            auction_assign
+            if getattr(cfg, "tpu_device_matcher", True)
+            else hungarian_assign
+        )
         self.w_dice = getattr(cfg, "loss_dice_weight", 1.0)
         self.w_focal = getattr(cfg, "loss_focal_weight", 1.0)
         self.w_cls = getattr(cfg, "loss_cls_weight", 1.0)
@@ -108,7 +118,7 @@ class InstSetCriterion:
         cost = cost_d + cost_c
         big = 1e6
         cost = jnp.where(query_valid[:, :, None], cost, big)
-        pred_inds = hungarian_assign(cost, inst_valid)  # [B,I]
+        pred_inds = self._assign(cost, inst_valid)  # [B,I]
 
         num_gt = jnp.sum(inst_valid.astype(jnp.float32))
         bsz = mask_logits.shape[1]

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from geoformer_tpu.losses.matcher import build_gt_instances, dice_cost, hungarian_assign
+from geoformer_tpu.losses.matcher import auction_assign, build_gt_instances, dice_cost, hungarian_assign
 from geoformer_tpu.losses.criterion import (
     masked_dice_loss,
     masked_focal_loss,
@@ -82,6 +82,15 @@ class FSInstSetCriterion:
         self.cal_simloss = "similarity_net" not in cfg.fix_module
         # reference hardwires {dice: 1, focal: 1} (criterion_fs.py:107-111);
         # exposed as config with bit-identical defaults
+        # device-side auction matcher by default: no host callback in the
+        # train step (pure_callback is rejected outright by the tunnel TPU
+        # runtime, and on any backend it removes the per-step host bounce
+        # the reference takes at matcher.py:122-124)
+        self._assign = (
+            auction_assign
+            if getattr(cfg, "tpu_device_matcher", True)
+            else hungarian_assign
+        )
         self.w_dice = getattr(cfg, "loss_dice_weight", 1.0)
         self.w_focal = getattr(cfg, "loss_focal_weight", 1.0)
 
@@ -111,7 +120,7 @@ class FSInstSetCriterion:
         last_masks = jax.lax.stop_gradient(mask_logits[-1])
         cost = jax.vmap(dice_cost)(last_masks, inst_masks, fg_valid)
         cost = jnp.where(query_valid[:, :, None], cost, 1e6)
-        pred_inds = hungarian_assign(cost, inst_valid)
+        pred_inds = self._assign(cost, inst_valid)
 
         num_gt = jnp.sum(inst_valid.astype(jnp.float32))
         bsz = mask_logits.shape[1]

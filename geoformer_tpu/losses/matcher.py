@@ -59,7 +59,9 @@ def _host_lsa(cost, inst_valid):
 
 def hungarian_assign(cost, inst_valid):
     """cost [B,Q,I], inst_valid [B,I] -> pred_inds [B,I] int32
-    (query index matched to each valid instance)."""
+    (query index matched to each valid instance). Host scipy LSA via
+    pure_callback — exact, but host callbacks are unsupported on some TPU
+    runtimes; the production train path uses auction_assign."""
     b, _, i = cost.shape
 
     def single(c, v):
@@ -68,3 +70,105 @@ def hungarian_assign(cost, inst_valid):
         )
 
     return jax.vmap(single)(cost, inst_valid)
+
+
+def _auction_scene(cost, inst_valid, eps_phases=(0.005,),
+                   rounds_per_phase=2000):
+    """Forward auction, fully on device.
+
+    cost [Q, I] f32, inst_valid [I] -> query index per instance [I] int32.
+    Valid instances bid for queries (value = -cost); Jacobi rounds: every
+    unassigned agent bids best-minus-second-best + eps, each query goes to
+    its highest bidder at the raised price. The result is within n*eps of
+    the optimum (the matcher only shapes training targets — near-ties may
+    resolve differently than scipy; total matching cost agrees to ~1e-2).
+    A greedy sweep assigns any straggler left at the round cap.
+
+    NOTE: single phase by design. Epsilon-scaling warm starts are UNSOUND
+    for this rectangular (Q > I) problem: queries left unassigned at a
+    previous phase keep inflated prices, which breaks the duality bound
+    and produced arbitrarily bad matchings in testing.
+    """
+    q, i = cost.shape
+    value = -cost.T  # [I, Q]
+    neg = -1e9
+
+    def phase(carry, eps):
+        price, _ = carry
+        assigned = jnp.full((i,), -1, jnp.int32)
+        owner = jnp.full((q,), -1, jnp.int32)
+
+        def cond(st):
+            assigned, _, _, it = st
+            return jnp.any((assigned < 0) & inst_valid) & (it < rounds_per_phase)
+
+        def body(st):
+            assigned, owner, price, it = st
+            bidding = (assigned < 0) & inst_valid
+            net = value - price[None, :]  # [I, Q]
+            best_q = jnp.argmax(net, axis=1)
+            v1 = jnp.max(net, axis=1)
+            net2 = net.at[jnp.arange(i), best_q].set(neg)
+            v2 = jnp.max(net2, axis=1)
+            incr = jnp.where(bidding, v1 - v2 + eps, neg)
+            # dense [I, Q] bid board: winner per query = highest bidder
+            board = jnp.where(
+                bidding[:, None] & (jnp.arange(q)[None, :] == best_q[:, None]),
+                incr[:, None], neg,
+            )
+            win_bid = jnp.max(board, axis=0)  # [Q]
+            win_agent = jnp.argmax(board, axis=0).astype(jnp.int32)
+            won = win_bid > neg / 2
+            price = jnp.where(won, price + win_bid, price)
+            # displaced previous owners become unassigned
+            displaced = jnp.where(won, owner, -1)  # [Q] agent ids or -1
+            was_displaced = jnp.any(
+                (jnp.arange(i)[:, None] == displaced[None, :]), axis=1
+            )
+            assigned = jnp.where(was_displaced, -1, assigned)
+            owner = jnp.where(won, win_agent, owner)
+            new_q = jnp.argmax(
+                (jnp.arange(i)[:, None] == jnp.where(won, win_agent, -1)[None, :]),
+                axis=1,
+            ).astype(jnp.int32)
+            got_one = jnp.any(
+                (jnp.arange(i)[:, None] == jnp.where(won, win_agent, -1)[None, :]),
+                axis=1,
+            )
+            assigned = jnp.where(got_one, new_q, assigned)
+            return assigned, owner, price, it + 1
+
+        assigned, owner, price, _ = jax.lax.while_loop(
+            cond, body, (assigned, owner, price, jnp.int32(0))
+        )
+        return (price, assigned), None
+
+    (price, assigned), _ = jax.lax.scan(
+        phase, (jnp.zeros((q,), jnp.float32), jnp.full((i,), -1, jnp.int32)),
+        jnp.asarray(eps_phases, jnp.float32),
+    )
+
+    # greedy fallback for agents unassigned at the round cap (rare)
+    def fallback(k, st):
+        assigned = st
+        taken = jnp.any(
+            (jnp.arange(q)[:, None] == jnp.where(inst_valid, assigned, -1)[None, :]),
+            axis=1,
+        )
+        need = (assigned[k] < 0) & inst_valid[k]
+        c = jnp.where(taken, 1e9, cost[:, k])
+        pick = jnp.argmin(c).astype(jnp.int32)
+        return assigned.at[k].set(jnp.where(need, pick, assigned[k]))
+
+    assigned = jax.lax.fori_loop(0, i, fallback, assigned)
+    return jnp.where(inst_valid, assigned, 0).astype(jnp.int32)
+
+
+def auction_assign(cost, inst_valid, eps_phases=(0.005,)):
+    """Device-side assignment, drop-in for hungarian_assign ([B,Q,I] ->
+    [B,I]). No host callback: runs under jit on any backend (the tunnel
+    TPU runtime rejects pure_callback entirely) and removes the reference's
+    per-step GPU->CPU->GPU matcher bounce (model/matcher.py:122-124)."""
+    return jax.vmap(
+        lambda c, v: _auction_scene(c, v, eps_phases=eps_phases)
+    )(cost, inst_valid)

@@ -43,3 +43,43 @@ class PositionEmbeddingCoordsFourier(nn.Module):
         x = x * (2.0 * np.pi)
         proj = jnp.einsum("bnd,dk->bnk", x, gauss.value)
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class PositionEmbeddingCoordsSine(nn.Module):
+    """Sine/cosine positional embedding (reference pos_embedding.py
+    get_sine_embeddings, :44-86). Unused by the shipped GeoFormer configs
+    (they select the fourier type, geoformer.py:119) but part of the
+    module's public surface: per coordinate d, ndim = d_pos // 3 rounded
+    down to even, remainder channels assigned to the leading dims two at a
+    time, frequencies temperature**(2*(i//2)/cdim), interleaved
+    sin(even)/cos(odd)."""
+
+    d_pos: int
+    d_in: int = 3
+    temperature: float = 10000.0
+    scale: float = 2.0 * np.pi
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, pc_mins, pc_maxs):
+        x = xyz
+        if self.normalize:
+            x = shift_scale_points(x, pc_mins, pc_maxs)
+        ndim = self.d_pos // self.d_in
+        if ndim % 2 != 0:
+            ndim -= 1
+        rems = self.d_pos - ndim * self.d_in
+        embeds = []
+        for d in range(self.d_in):
+            cdim = ndim
+            if rems > 0:
+                cdim += 2
+                rems -= 2
+            i = np.arange(cdim, dtype=np.float32)
+            dim_t = self.temperature ** (2.0 * (i // 2) / cdim)  # [cdim]
+            pos = (x[:, :, d] * self.scale)[:, :, None] / dim_t  # [B,N,cdim]
+            pos = jnp.stack(
+                [jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])], axis=3
+            ).reshape(pos.shape[0], pos.shape[1], -1)
+            embeds.append(pos)
+        return jnp.concatenate(embeds, axis=-1)  # [B,N,d_pos] channel-last

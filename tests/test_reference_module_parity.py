@@ -311,3 +311,25 @@ def test_loss_primitives_match_reference(ref_modules):
     ))
     np.testing.assert_allclose(got_dice, want_dice, rtol=1e-5)
     np.testing.assert_allclose(got_focal, want_focal, rtol=1e-5)
+
+
+def test_sine_pos_embedding_matches_reference(ref_modules):
+    _, pe, _ = ref_modules
+    from geoformer_tpu.models.pos_embedding import PositionEmbeddingCoordsSine
+
+    for d_pos in (16, 22):  # 22 exercises the remainder-channel path
+        ref = pe.PositionEmbeddingCoordsSine(pos_type="sine", d_pos=d_pos, normalize=True)
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform(0, 3, size=(2, 9, 3)).astype(np.float32)
+        mins, maxs = xyz.min(1), xyz.max(1)
+        with torch.no_grad():
+            want = ref(
+                torch.tensor(xyz), num_channels=d_pos,
+                input_range=[torch.tensor(mins), torch.tensor(maxs)],
+            ).numpy()  # [B, d_pos, N]
+        got = PositionEmbeddingCoordsSine(d_pos=d_pos).apply(
+            {}, jnp.asarray(xyz), jnp.asarray(mins), jnp.asarray(maxs)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 2, 1), want, rtol=1e-4, atol=1e-5
+        )
