@@ -7,12 +7,16 @@ mask logits) actually divide the big tensors instead of replicating them.
 Run:  python tools/mp_memory_report.py     (re-execs itself with a scrubbed
                                             8-device CPU environment)
 
-Recorded output (2026-08-16, this tree — tiny dryrun shapes, where fixed
-overheads dominate; the sharded [B,F,Q]/[L,B,Q,F] tensors scale with
-capacity so the gap widens at production shapes):
-    mesh=data8xmodel1: temp=98.5MiB output=13.2MiB argument=13.3MiB
-    mesh=data4xmodel2: temp=93.4MiB output=13.2MiB argument=13.3MiB
-    temp memory reduction vs mp=1: 1.05x
+Recorded output (2026-08-17, this tree — 8192-point training shapes):
+    mesh=data8xmodel1: temp=1174.3MiB output=22.6MiB argument=22.9MiB
+    mesh=data4xmodel2: temp=1062.8MiB output=22.6MiB argument=22.9MiB
+    temp memory reduction vs mp=1: 1.10x
+The modest ratio is honest: training temp memory is dominated by backbone
+activations, which are data-parallel (per-device batch is identical at
+dp8 and dp4xmp2); the model axis divides only the query-sharded tensors
+(geodesic [B,F,Q], decoder, mask logits), which matter at eval scale
+(Q=256, F=131k -> the [B,F,Q] table alone is 134MB/scene) and for fitting
+larger query counts, not for train-step activation memory.
 """
 
 from __future__ import annotations
@@ -34,11 +38,11 @@ def report() -> None:
         dp = 8 // mp
         cfg = _small_cfg(
             batch_size=dp,
-            tpu_max_points=1024, tpu_max_voxels=1024, tpu_max_fg_points=512,
-            tpu_train_subsample=256, n_decode_point=64, n_query_points=16,
-            n_downsampling=512, tpu_unet_depth=3, tpu_spatial_shape=128,
-            tpu_knn_neighbors=8, tpu_geodesic_steps_train=8,
-            tpu_geodesic_steps_eval=8, tpu_ball_nsample=8, prepare_epochs=0,
+            tpu_max_points=8192, tpu_max_voxels=8192, tpu_max_fg_points=4096,
+            tpu_train_subsample=2048, n_decode_point=256, n_query_points=64,
+            n_downsampling=4096, tpu_unet_depth=4, tpu_spatial_shape=256,
+            tpu_knn_neighbors=16, tpu_geodesic_steps_train=8,
+            tpu_geodesic_steps_eval=8, tpu_ball_nsample=16, prepare_epochs=0,
         )
         mesh = make_mesh(8, model_parallel=mp)
         engine = Engine(cfg, few_shot=False, mesh=mesh)
