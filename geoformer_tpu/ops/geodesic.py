@@ -417,7 +417,10 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     cdist = cdist.at[seed_cell, seed_cols].min(
         jnp.where(seed_mask, to_rep[safe], INF)
     )
-    cdist = _block_sweeps(cnb2, cw2, cdist, n_steps, cblock, early_exit=True)
+    # coarse sweeps are ~100x cheaper than fine ones and the early exit
+    # fires at the fixpoint, so give the cap a generous floor rather than
+    # letting a fine-tuned n_steps truncate the long-range solve
+    cdist = _block_sweeps(cnb2, cw2, cdist, max(n_steps, 256), cblock, early_exit=True)
 
     # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count)
     perm = _spatial_order(positions, point_mask, cell * 2)
