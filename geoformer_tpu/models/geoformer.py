@@ -167,9 +167,9 @@ def random_pack_by_mask(mask: jax.Array, capacity: int, rng: jax.Array):
     foreground_pack), so when capacity covers the whole array the
     subsample set is the identity and the sort-based shuffle reduces to a
     random rotation of the valid prefix — downstream FPS still starts at
-    a random foreground point, without a ~35 ms device sort. (With a
-    non-prefix mask this path still returns correct validity flags, just
-    without packing.)"""
+    a random foreground point, without a device sort (~4 ms amortized).
+    (With a non-prefix mask this path still returns correct validity
+    flags, just without packing.)"""
     p = mask.shape[0]
     if capacity >= p:
         # capacity clamps to p like the original order[:capacity] slice

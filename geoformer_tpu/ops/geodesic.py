@@ -69,8 +69,8 @@ def symmetrize_graph(nbr_idx: jax.Array, w: jax.Array, rev_slots: int | None = N
 
 
 def _invert_perm(perm: jax.Array) -> jax.Array:
-    """Inverse of a permutation via unique-index scatter (argsort of a
-    permutation costs a full TPU sort, ~35 ms at 32k; this is ~1 ms)."""
+    """Inverse of a permutation via unique-index scatter instead of a
+    second argsort (~4 ms amortized at 32k on v5e)."""
     n = perm.shape[0]
     return (
         jnp.zeros((n,), jnp.int32)
