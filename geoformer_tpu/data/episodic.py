@@ -171,6 +171,17 @@ class FSInstDataset:
                     # bounded retry (the reference's unbounded while-True,
                     # scannetv2_fs_inst.py:461-476, can spin forever on
                     # datasets with only small instances)
+                    # DOCUMENTED DEVIATION: the reference's retry accepts when
+                    # np.count_nonzero(support_label) > 100
+                    # (scannetv2_fs_inst.py:474), i.e. >100 points of the
+                    # *class* anywhere in the scene — not of the chosen
+                    # instance. Since class2instances only lists instances
+                    # of that class, the class count always covers the
+                    # instance's scene, making the reference's gate nearly
+                    # vacuous per-instance. We gate on the actual support
+                    # instance mask (>100 points of the masked instance),
+                    # which is the intended semantics: a support with a
+                    # tiny/invisible instance mask is useless as a prototype.
                     for _ in range(20):
                         sup_name, sup_inst = pyrng.choice(self.class2instances[cls])
                         sup = self._support_scene(sup_name, sup_inst, rng)

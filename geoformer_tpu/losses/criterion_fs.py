@@ -27,14 +27,22 @@ def bce_with_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def similarity_loss(similarity, mask_logits, inst_fg, fg_valid, query_valid, negative_ratio):
-    """[B,Q] logits, [B,Q,F] last-layer mask logits (detached), [B,F] labels."""
+def similarity_loss(
+    similarity, mask_logits, inst_fg, fg_valid, query_valid, negative_ratio,
+    max_inst: int = 64,
+):
+    """[B,Q] logits, [B,Q,F] last-layer mask logits (detached), [B,F] labels.
+
+    `max_inst` is the mode-search capacity and must be >= the collate-time
+    instance-id remap capacity (`cfg.tpu_max_instances`) — the criterion
+    passes it through so raising the config cannot silently truncate the
+    label computation."""
     mask_logits = jax.lax.stop_gradient(mask_logits)
     pred = (jax.nn.sigmoid(mask_logits) > 0.5) & fg_valid[:, None, :]  # [B,Q,F]
 
     def scene(pred_b, inst_b, fval_b, qval_b, sim_b):
         max_i = jnp.max(jnp.where(fval_b, inst_b, -1)) + 1
-        ids = jnp.arange(64)  # mode search capacity; inst ids are remapped small
+        ids = jnp.arange(max_inst)  # mode search capacity (cfg.tpu_max_instances)
         inst_onehot = (inst_b[None, :] == ids[:, None]) & fval_b[None, :]  # [I,F]
         counts = jnp.einsum(
             "qf,if->qi", pred_b.astype(jnp.float32), inst_onehot.astype(jnp.float32)
@@ -109,7 +117,7 @@ class FSInstSetCriterion:
         if epoch > cfg.prepare_epochs and self.cal_simloss:
             sim_l = similarity_loss(
                 similarity, mask_logits[-1], inst_fg, fg_valid, query_valid,
-                self.negative_ratio,
+                self.negative_ratio, max_inst=self.max_inst,
             )
             loss = loss + sim_l
             loss_dict["sim_loss"] = sim_l
