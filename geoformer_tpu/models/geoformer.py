@@ -34,7 +34,7 @@ from geoformer_tpu.models.dynamic_conv import (
 )
 from geoformer_tpu.models.pos_embedding import PositionEmbeddingCoordsFourier
 from geoformer_tpu.models.unet import SemanticHead, SparseUNetBackbone
-from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
+from geoformer_tpu.ops.sparse_conv import build_grid_plan, plan_stats, voxel_capacities
 from geoformer_tpu.ops.voxelize import devoxelize, voxel_mean_pool
 from geoformer_tpu.ops.knn import knn
 from geoformer_tpu.ops.radius_graph import radius_knn
@@ -86,6 +86,12 @@ class ModelConfig:
     # routing lowers to per-voxel tiny GEMMs and measured slower than the
     # full conv on v5e — default off, kept as an option
     subm_k: int = 27
+    # dense-brick subm convs (ops/brick.py): NB = V // brick_occupancy
+    # brick slots per level; 0 disables (fall back to gather rulebooks).
+    # 32 measured 173 ms / 64 measured 136 ms for the full 65k-point U-Net
+    # conv stack on v5e (vs 310 ms rulebook); 32 is the default for its
+    # capacity margin (overflow is counted + warned either way)
+    brick_occupancy: int = 32
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
@@ -147,9 +153,39 @@ class ModelConfig:
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
             subm_k=cfg.tpu_subm_k,
+            brick_occupancy=cfg.tpu_brick_occupancy,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
         )
+
+
+def _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs):
+    """Run the geodesic solver under shard_map over the ambient mesh.
+
+    Scenes split over the "data" axis, seed columns over "model"; the
+    radius graph is built inside (replicated within a model group — cheaper
+    than the all-gather SPMD inserts around its un-partitionable top_k).
+    No-op (plain call) when the mesh is absent or shapes don't divide."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = jax.sharding.get_abstract_mesh()
+    axes = tuple(getattr(mesh, "axis_names", ()) or ())
+    b, q = seeds.shape
+    use_dp = "data" in axes and mesh.shape["data"] > 1 and b % mesh.shape["data"] == 0
+    use_mp = "model" in axes and mesh.shape["model"] > 1 and q % mesh.shape["model"] == 0
+    if not (use_dp or use_mp):
+        return solve(seeds, seed_mask, fg_valid, fg_locs)
+    d = "data" if use_dp else None
+    m = "model" if use_mp else None
+    return jax.shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(P(d, m), P(d, m), P(d), P(d)),
+        out_specs=P(d, None, m),
+        # the solver body is collective-free (columns independent); the vma
+        # tracker otherwise demands pcasts on every while_loop carry
+        check_vma=False,
+    )(seeds, seed_mask, fg_valid, fg_locs)
 
 
 def pack_by_mask(mask: jax.Array, capacity: int):
@@ -240,6 +276,7 @@ class GeoFormerBase(nn.Module):
         plan = build_grid_plan(
             batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps,
             subm_k=mc.subm_k if mc.subm_k < 27 else None,
+            brick_occupancy=mc.brick_occupancy or None,
         )
         feats = batch["feats"]
         if mc.use_coords:
@@ -256,7 +293,7 @@ class GeoFormerBase(nn.Module):
             semantic_scores = jax.lax.stop_gradient(semantic_scores)
         semantic_preds = jnp.argmax(semantic_scores, axis=-1)
         semantic_preds = jnp.where(batch["point_mask"], semantic_preds, -1)
-        return point_feats, semantic_scores, semantic_preds
+        return point_feats, semantic_scores, semantic_preds, plan_stats(plan)
 
     def foreground_pack(self, semantic_preds, point_mask):
         mc = self.mc
@@ -285,16 +322,33 @@ class GeoFormerBase(nn.Module):
         """
         mc = self.mc
         train = mc.train_for("set_aggregator", train)
-        rng = self.make_rng("sample")
-        keys = jax.random.split(rng, fg_locs.shape[0])
-        sub_idx, sub_valid = jax.vmap(
-            lambda m, k: random_pack_by_mask(m, mc.n_downsampling, k)
-        )(fg_valid, keys)
+        if train:
+            rng = self.make_rng("sample")
+            keys = jax.random.split(rng, fg_locs.shape[0])
+            sub_idx, sub_valid = jax.vmap(
+                lambda m, k: random_pack_by_mask(m, mc.n_downsampling, k)
+            )(fg_valid, keys)
+        else:
+            # DOCUMENTED DEVIATION: the reference permutes the foreground
+            # with an *unseeded* np.random.choice even at eval
+            # (geoformer.py:575-580), so its eval FPS start — and therefore
+            # its query set and AP — varies run to run. Eval here is
+            # deterministic: identity packing (the fg prefix), FPS from
+            # fg[0], same contract the reference has on any single run.
+            sub_idx, sub_valid = jax.vmap(
+                lambda m: pack_by_mask(m, mc.n_downsampling)
+            )(fg_valid)
         sub_locs = jax.vmap(gather_scene)(fg_locs, sub_idx)
         sub_feats = jax.vmap(gather_scene)(fg_feats, sub_idx)
 
-        new_xyz, grouped, _, inds, inds_valid, hit = self.set_aggregator.group(
-            sub_locs, sub_feats, sub_valid, mc.n_decode_point
+        # FPS + ball grouping under a data-axis shard_map: their top_k /
+        # while bodies are un-partitionable and SPMD would all-gather the
+        # whole batch around them on a multi-device mesh
+        from geoformer_tpu.parallel.mesh import shard_map_data
+
+        new_xyz, grouped, _, inds, inds_valid, hit = shard_map_data(
+            lambda pl, pf, pv: self.set_aggregator.group(pl, pf, pv, mc.n_decode_point),
+            sub_locs, sub_feats, sub_valid,
         )
         # reference BN statistics run over all 64 slots (pads are duplicated
         # first hits), so the group mask is just "center has any hit"
@@ -311,43 +365,64 @@ class GeoFormerBase(nn.Module):
     def forward_geodesic(self, fg_locs, fg_valid, context_inds, context_valid, train: bool):
         mc = self.mc
         q = mc.n_query_points
-        # K nearest within the geodesic radius via a voxel hash — the
-        # radius gate makes brute-force kNN (reference FAISS) wasteful; see
-        # ops/radius_graph.py. Out-of-radius slots carry 1e30 and die at the
-        # geodesic's own gate.
-        d2, nbr_i = radius_knn(
-            fg_locs, fg_valid, mc.geodesic_radius, mc.knn_neighbors,
-            cell_cap=mc.radius_cell_cap,  # sorted: top_k beats the searchsorted compaction on TPU
-        )
-        nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
         seeds = context_inds[:, :q]
         seed_mask = context_valid[:, :q]
         steps = mc.geodesic_steps_train if train else mc.geodesic_steps_eval
-        if mc.geodesic_hier:
-            # two-level solve: coarse cell-graph fixpoint + fixed fine
-            # sweeps — the production path (exact sweeps need ~100 passes
-            # over the [F,K] edge table at room scale)
-            geo = geodesic_distance_hier(
-                nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius,
-                steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
-                cell_factor=mc.geodesic_cell_factor,
+
+        def solve(seeds, seed_mask, fg_valid, fg_locs):
+            # K nearest within the geodesic radius via a voxel hash — the
+            # radius gate makes brute-force kNN (reference FAISS) wasteful;
+            # see ops/radius_graph.py. Out-of-radius slots carry 1e30 and
+            # die at the geodesic's own gate. Built INSIDE the shard_map:
+            # its top_k is un-partitionable inside the per-scene vmap and
+            # would otherwise be all-gathered across the data axis.
+            d2, nbr_i = radius_knn(
+                fg_locs, fg_valid, mc.geodesic_radius, mc.knn_neighbors,
+                cell_cap=mc.radius_cell_cap,  # sorted: top_k beats the searchsorted compaction on TPU
+            )
+            nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
+            if mc.geodesic_hier:
+                # two-level solve: coarse cell-graph fixpoint + fixed fine
+                # sweeps — the production path (exact sweeps need ~100
+                # passes over the [F,K] edge table at room scale)
+                return geodesic_distance_hier(
+                    nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius,
+                    steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
+                    cell_factor=mc.geodesic_cell_factor,
+                )  # [B, F, Q]
+            # symmetrize=False: the radius-kNN graph is symmetric up to the
+            # K cap, so the reverse-edge table would double relaxation
+            # traffic for near-zero effect
+            return geodesic_distance(
+                nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
+                symmetrize=False, positions=fg_locs,  # spatial sweep ordering
+                relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
             )  # [B, F, Q]
-            # the [B,F,Q] table is the forward's biggest tensor and every
-            # consumer (rel-pos, mask head) is query-parallel: split Q over
-            # the model axis so dp x mp meshes divide it instead of
-            # replicating it
-            return maybe_shard(geo, "data", None, "model")
-        # symmetrize=False: the radius-kNN graph is symmetric up to the K
-        # cap, so the reverse-edge table would double relaxation traffic
-        # for near-zero effect
-        geo = geodesic_distance(
-            nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
-            symmetrize=False, positions=fg_locs,  # spatial sweep ordering
-            relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
-        )  # [B, F, Q]
+
+        # the [B,F,Q] table is the forward's biggest tensor, the solve its
+        # most serial stage, and every distance column is independent: run
+        # the solver UNDER shard_map so the scene axis splits over "data"
+        # and the seed/query axis over "model" — each device relaxes only
+        # its own [F, Q/mp] table for its own scenes, instead of the
+        # per-scene lax.map running replicated and the table being
+        # all-gathered afterwards. Falls back to the unsharded solve on
+        # single-axis / indivisible meshes.
+        geo = _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs)
         return maybe_shard(geo, "data", None, "model")
 
     # ---------------- decoder ----------------
+
+    def _pos_range(self, pc_mins, pc_maxs):
+        """REFERENCE QUIRK, kept for checkpoint parity: the supervised
+        reference builds pc_dims = [pc_maxs, pc_mins]
+        (geoformer.py:412-415) and passes it as shift_scale_points'
+        [min, max] src_range, so every positional embedding is normalized
+        FLIPPED: (max-x)/(max-min). The few-shot model passes the correct
+        [pc_mins, pc_maxs] (geoformer_fs.py:433-436) and overrides this.
+        Released checkpoints are trained with the respective conventions;
+        pinned by tests/test_full_model_golden_parity.py (which caught it).
+        """
+        return pc_maxs, pc_mins
 
     def rel_pos_tensor(self, query_locs, context_locs, geo_dist, context_inds, pc_mins, pc_maxs):
         """Build the geodesic-guided relative position embedding
@@ -363,7 +438,8 @@ class GeoFormerBase(nn.Module):
         geo3 = jnp.repeat(geo_ctx[..., None], 3, axis=-1)
         fallback = max_geo[:, :, None, None] + rel
         geo3 = jnp.where(geo3 < 0, fallback, geo3)
-        emb = self.pos_embedding(geo3.reshape(b, q * k, 3), pc_mins, pc_maxs)
+        ra, rb = self._pos_range(pc_mins, pc_maxs)
+        emb = self.pos_embedding(geo3.reshape(b, q * k, 3), ra, rb)
         return emb.reshape(b, q, k, -1)
 
     def run_decoder(
@@ -380,7 +456,8 @@ class GeoFormerBase(nn.Module):
         query_locs = context_locs[:, :q]
         query_valid = context_valid[:, :q]
 
-        query_pos = self.pos_embedding(query_locs, pc_mins, pc_maxs)
+        ra, rb = self._pos_range(pc_mins, pc_maxs)
+        query_pos = self.pos_embedding(query_locs, ra, rb)
         query_pos = self.query_projection(
             query_pos, query_valid, mc.train_for("query_projection", train)
         )
@@ -463,8 +540,11 @@ class GeoFormer(GeoFormerBase):
     def __call__(self, batch, train: bool = True, semantic_only: bool = False):
         mc = self.mc
         outputs = {}
-        point_feats, semantic_scores, semantic_preds = self.forward_backbone(batch, train)
+        point_feats, semantic_scores, semantic_preds, vox_stats = self.forward_backbone(
+            batch, train
+        )
         outputs["semantic_scores"] = semantic_scores
+        outputs["voxel_stats"] = vox_stats
         if semantic_only:
             return outputs
 

@@ -49,6 +49,12 @@ class SimilarityNet(nn.Module):
 class GeoFormerFS(GeoFormerBase):
     """Few-shot GeoFormer."""
 
+    def _pos_range(self, pc_mins, pc_maxs):
+        # the FS reference passes the CORRECT [pc_mins, pc_maxs] range
+        # (geoformer_fs.py:433-436) — unlike the supervised model's flipped
+        # pc_dims quirk (see GeoFormerBase._pos_range)
+        return pc_mins, pc_maxs
+
     def setup(self):
         super().setup()
         mc = self.mc
@@ -69,7 +75,7 @@ class GeoFormerFS(GeoFormerBase):
     def process_support(self, support_batch, train: bool = False):
         """Support scene -> [B, 2m] embedding. Always no-grad in the
         reference (geoformer_fs.py:436 torch.no_grad)."""
-        point_feats, _, _ = self.forward_backbone(support_batch, train=False)
+        point_feats, _, _, _ = self.forward_backbone(support_batch, train=False)
         sup_mask = (support_batch["support_masks"] > 0) & support_batch["point_mask"]
 
         # per-scene masked aggregation with npoint=32, avg pooling
@@ -92,7 +98,9 @@ class GeoFormerFS(GeoFormerBase):
     # ---------------- scene encoding (cacheable) ----------------
 
     def encode_scene(self, scene_batch, train: bool):
-        point_feats, semantic_scores, semantic_preds = self.forward_backbone(scene_batch, train)
+        point_feats, semantic_scores, semantic_preds, vox_stats = self.forward_backbone(
+            scene_batch, train
+        )
         fg_idx, fg_valid = self.foreground_pack(semantic_preds, scene_batch["point_mask"])
         fg_locs = jax.vmap(gather_scene)(scene_batch["points"], fg_idx)
         fg_feats = jax.vmap(gather_scene)(point_feats, fg_idx)
@@ -103,6 +111,7 @@ class GeoFormerFS(GeoFormerBase):
         geo_dist = self.forward_geodesic(fg_locs, fg_valid, context_inds, context_valid, train)
         return {
             "semantic_scores": semantic_scores,
+            "voxel_stats": vox_stats,
             "fg_idx": fg_idx,
             "fg_valid": fg_valid,
             "fg_locs": fg_locs,
@@ -168,6 +177,7 @@ class GeoFormerFS(GeoFormerBase):
         outputs = {}
         cache = self.encode_scene(scene_batch, train)
         outputs["semantic_scores"] = cache["semantic_scores"]
+        outputs["voxel_stats"] = cache["voxel_stats"]
         if support_embeddings is None:
             support_embeddings = self.process_support(support_batch, train)
         dec = self.decode_with_support(

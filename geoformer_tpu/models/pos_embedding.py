@@ -14,11 +14,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def shift_scale_points(xyz, src_min, src_max):
-    """Map xyz [B,N,3] into [0,1]^3 given per-scene ranges [B,3]
-    (reference util/utils_pc.py:35-61)."""
-    diff = jnp.maximum(src_max - src_min, 1e-12)[:, None, :]
-    return (xyz - src_min[:, None, :]) / diff
+def shift_scale_points(xyz, src_a, src_b):
+    """(xyz - src_a) / (src_b - src_a) for [B,N,3] points, ranges [B,3]
+    (reference util/utils_pc.py:35-61, exact formula — src_b < src_a is
+    legal and flips the normalization; see the pc_dims quirk note at the
+    call sites in models/geoformer.py)."""
+    diff = (src_b - src_a)[:, None, :]
+    diff = jnp.where(jnp.abs(diff) < 1e-12, 1e-12, diff)
+    return (xyz - src_a[:, None, :]) / diff
 
 
 class PositionEmbeddingCoordsFourier(nn.Module):

@@ -14,9 +14,11 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
+from geoformer_tpu.ops.brick import dense_subm_conv, from_dense, to_dense
 from geoformer_tpu.ops.sparse_conv import GridPlan, apply_subm, dense_1x1, down_conv, subm_conv, up_conv
 
 
@@ -24,6 +26,50 @@ def _subm_param(module, name, cin, cout):
     # kaiming-like fan-in init over the 27*cin fan
     init = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
     return module.param(name, init, (27, cin, cout))
+
+
+@jax.tree_util.register_pytree_node_class
+class _LevelCtx:
+    """Per-level conv context: the level's feature representation and how
+    to conv in it.
+
+    Brick mode (plan.bricks): features live as dense [B,NB,8,8,8,C] bricks
+    for the WHOLE level — scatter in once (`enter`), run every subm conv as
+    a dense MXU conv, gather out once (`exit`) — so the per-voxel
+    scatter/gather cost amortizes over the level's ~8 convs instead of
+    being paid 2x per conv. Rulebook mode: passthrough sparse [B,V,C].
+
+    Registered as a pytree so it can flow through nn.remat."""
+
+    def __init__(self, brick, nbr, mask):
+        self.brick = brick
+        self.nbr = nbr
+        self.mask = mask
+
+    @classmethod
+    def for_level(cls, plan: GridPlan, lvl: int):
+        if plan.bricks:
+            return cls(plan.bricks[lvl], None, plan.bricks[lvl].occ)
+        nbr = plan.subm_compact[lvl] if plan.subm_compact else plan.subm[lvl]
+        return cls(None, nbr, plan.grids[lvl].voxel_mask)
+
+    def tree_flatten(self):
+        return (self.brick, self.nbr, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def enter(self, x_sparse):
+        return to_dense(x_sparse, self.brick) if self.brick is not None else x_sparse
+
+    def exit(self, x_rep):
+        return from_dense(x_rep, self.brick) if self.brick is not None else x_rep
+
+    def conv(self, x_rep, w, compute_dtype=None):
+        if self.brick is not None:
+            return dense_subm_conv(x_rep, self.brick, w, compute_dtype=compute_dtype)
+        return apply_subm(x_rep, self.nbr, w, compute_dtype=compute_dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -34,7 +80,8 @@ class ResidualBlock(nn.Module):
     compute_dtype: object = None  # bf16 halves gather traffic, fp32 accum
 
     @nn.compact
-    def __call__(self, feats, nbr, vmask, train: bool):
+    def __call__(self, feats, ctx, train: bool):
+        vmask = ctx.mask
         if self.in_channels == self.out_channels:
             identity = feats
         else:
@@ -43,15 +90,17 @@ class ResidualBlock(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (self.in_channels, self.out_channels),
             )
-            identity = dense_1x1(feats, wi)
+            identity = dense_1x1(
+                feats.reshape(feats.shape[0], -1, feats.shape[-1]), wi
+            ).reshape(feats.shape[:-1] + (self.out_channels,))
         x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
         x = nn.relu(x)
-        x = apply_subm(x, nbr, _subm_param(self, "conv1", self.in_channels, self.out_channels),
-                       compute_dtype=self.compute_dtype)
+        x = ctx.conv(x, _subm_param(self, "conv1", self.in_channels, self.out_channels),
+                     compute_dtype=self.compute_dtype)
         x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
         x = nn.relu(x)
-        x = apply_subm(x, nbr, _subm_param(self, "conv2", self.out_channels, self.out_channels),
-                       compute_dtype=self.compute_dtype)
+        x = ctx.conv(x, _subm_param(self, "conv2", self.out_channels, self.out_channels),
+                     compute_dtype=self.compute_dtype)
         x = x + identity
         return jnp.where(vmask[..., None], x, 0.0)
 
@@ -104,35 +153,36 @@ class UBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
+        """feats: sparse [B, V_lvl, C] in; sparse [B, V_lvl, c0] out.
+        Internally the level may be brick-dense (_LevelCtx)."""
         lvl = self.level
-        # live-packed slot tables when the plan carries them (tpu_subm_k)
-        nbr = plan.subm_compact[lvl] if plan.subm_compact else plan.subm[lvl]
+        ctx = _LevelCtx.for_level(plan, lvl)
         vmask = plan.grids[lvl].voxel_mask
         c0 = self.n_planes[0]
         # rematerialize residual blocks during training to trade FLOPs for
         # HBM (jax.checkpoint; reference has no analog — torch keeps all
         # activations and OOM-guards with empty_cache, train.py:49)
         Block = (
-            nn.remat(ResidualBlock, static_argnums=(4,))  # `train` flag is static
+            nn.remat(ResidualBlock, static_argnums=(3,))  # `train` flag is static
             if (self.remat and train)
             else ResidualBlock
         )
 
-        x = feats
+        x = ctx.enter(feats)
         for i in range(self.block_reps):
             cin = x.shape[-1] if i == 0 else c0
-            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, nbr, vmask, train)
+            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, ctx, train)
 
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
             identity = x
-            # down: BN, ReLU, SparseConv3d k2s2
-            d = MaskedBatchNorm(c0, name="conv_bn")(x, vmask, train)
+            # down: BN, ReLU, SparseConv3d k2s2 (sparse 8-slot rulebook)
+            d = MaskedBatchNorm(c0, name="conv_bn")(x, ctx.mask, train)
             d = nn.relu(d)
             wd = self.param(
                 "conv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c0, c1)
             )
-            d = down_conv(d, plan.links[lvl], wd, compute_dtype=self.compute_dtype)
+            d = down_conv(ctx.exit(d), plan.links[lvl], wd, compute_dtype=self.compute_dtype)
             d = UBlock(
                 self.n_planes[1:],
                 self.block_reps,
@@ -151,20 +201,21 @@ class UBlock(nn.Module):
             u = up_conv(u, plan.links[lvl], wu, compute_dtype=self.compute_dtype)
             u = jnp.where(vmask[..., None], u, 0.0)
 
-            x = jnp.concatenate([identity, u], axis=-1)
+            x = jnp.concatenate([identity, ctx.enter(u)], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
-                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, nbr, vmask, train)
+                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, ctx, train)
 
         if len(self.n_planes) <= 2 and self.use_backbone_transformer:
             d_model = 128
+            x = ctx.exit(x)
             xyz = plan.grids[lvl].voxel_coords.astype(jnp.float32)
             h = nn.Dense(d_model, name="before_transformer_linear")(x)
             h = BottleneckTransformer(d_model, name="transformer")(h, xyz, vmask, train)
             x = nn.Dense(c0, name="after_transformer_linear")(h)
-            x = jnp.where(vmask[..., None], x, 0.0)
+            return jnp.where(vmask[..., None], x, 0.0)
 
-        return x
+        return ctx.exit(x)
 
 
 class SparseUNetBackbone(nn.Module):
@@ -186,7 +237,12 @@ class SparseUNetBackbone(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, voxel_feats.shape[-1], self.m),
         )
-        nbr0 = plan.subm_compact[0] if plan.subm_compact else plan.subm[0]
+        if plan.bricks:
+            nbr0 = plan.bricks[0]
+        elif plan.subm_compact:
+            nbr0 = plan.subm_compact[0]
+        else:
+            nbr0 = plan.subm[0]
         x = apply_subm(voxel_feats, nbr0, w_in, compute_dtype=self.compute_dtype)
         x = jnp.where(vmask0[..., None], x, 0.0)
 

@@ -323,7 +323,9 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
     big = 1e9
     origin = jnp.min(jnp.where(point_mask[:, None], positions, big), axis=0)
     cells = jnp.clip(jnp.floor((positions - origin) / cell).astype(jnp.int32), 0, 1023)
-    p2c, _, _, cmask, _, _, order, starts = _voxelize_scene(cells, point_mask, c_cap, 1024)
+    p2c, _, _, cmask, _, _, order, starts, _, _ = _voxelize_scene(
+        cells, point_mask, c_cap, 1024
+    )
 
     rep = order[jnp.minimum(starts[:c_cap], p - 1)]
     rep = jnp.where(cmask, rep, p)

@@ -229,23 +229,62 @@ class GridPlan(NamedTuple):
     """Per-forward connectivity for the whole U-Net: one entry per level.
 
     grids:  tuple of VoxelGrid, level 0 = point-resolution voxels.
-    subm:   tuple of [B, V_l, 27] neighbor maps.
+    subm:   tuple of [B, V_l, 27] neighbor maps (() in brick mode — the
+            per-voxel rulebooks and their 27V-query sorts are not built).
     links:  tuple of DownLink, links[l] connects level l -> l+1 (len depth-1).
     subm_compact: () or tuple of (idx, oid) compacted slot tables
             (compact_subm_neighbors) consumed by subm_conv_compact.
+    bricks: () or tuple of BrickPlan (ops/brick.py) — dense-brick subm
+            convs, the production TPU path.
     """
 
     grids: tuple
     subm: tuple
     links: tuple
     subm_compact: tuple = ()
+    bricks: tuple = ()
 
 
 def apply_subm(feats, nbr, w, precision=None, compute_dtype=None):
-    """Dispatch on plain [B,V,27] vs compacted (idx, oid) neighbor tables."""
+    """Dispatch: BrickPlan (dense bricks), (idx, oid) compacted table, or
+    plain [B,V,27] neighbor map."""
+    from geoformer_tpu.ops.brick import BrickPlan, subm_conv_bricks
+
+    if isinstance(nbr, BrickPlan):
+        return subm_conv_bricks(feats, nbr, w, precision, compute_dtype)
     if isinstance(nbr, tuple):
         return subm_conv_compact(feats, nbr[0], nbr[1], w, precision, compute_dtype)
     return subm_conv(feats, nbr, w, precision, compute_dtype)
+
+
+def plan_stats(plan: "GridPlan") -> dict:
+    """Capacity-health counters for a built plan, all [B] int32.
+
+    Surfaces what used to be silent (ops/voxelize.py pad-slot absorption):
+    level-0 points dropped by voxel-capacity overflow, points outside the
+    spatial grid, voxels dropped at coarser levels, and whether any level
+    saturated its capacity (n_voxels == cap means the scene may be
+    truncated — raise `tpu_max_voxels`)."""
+    g0 = plan.grids[0]
+    zeros = jnp.zeros_like(g0.n_overflow)
+    deeper = zeros
+    saturated = g0.n_voxels >= g0.voxel_keys.shape[1]
+    for g in plan.grids[1:]:
+        deeper = deeper + g.n_overflow
+        saturated = saturated | (g.n_voxels >= g.voxel_keys.shape[1])
+    brick_overflow = zeros
+    for bp in plan.bricks:
+        brick_overflow = brick_overflow + bp.n_overflow
+        saturated = saturated | (bp.n_overflow > 0)
+    return {
+        "n_voxels": g0.n_voxels,
+        "capacity": jnp.full_like(g0.n_voxels, g0.voxel_keys.shape[1]),
+        "n_overflow_points": g0.n_overflow,
+        "n_oor_points": g0.n_oor,
+        "n_dropped_voxels_deeper": deeper,
+        "n_brick_overflow": brick_overflow,
+        "saturated": saturated,
+    }
 
 
 def voxel_capacities(v0: int, depth: int, decay: float = 0.5, floor: int = 64) -> list[int]:
@@ -257,7 +296,7 @@ def voxel_capacities(v0: int, depth: int, decay: float = 0.5, floor: int = 64) -
 
 def build_grid_plan(
     coords: jax.Array, mask: jax.Array, spatial: int, depth: int, caps: list[int],
-    subm_k: int | None = None,
+    subm_k: int | None = None, brick_occupancy: int | None = None,
 ) -> GridPlan:
     """Build all rulebooks for a forward pass (device, jittable).
 
@@ -265,7 +304,13 @@ def build_grid_plan(
     subm_k < 27 additionally emits live-packed slot tables (exact as long
     as per-voxel live neighbor counts stay <= subm_k; ~18 max at surface
     densities).
+    brick_occupancy (tpu_brick_occupancy) switches the subm convs to the
+    dense-brick path: per level, NB = max(V_l // brick_occupancy, 16) brick
+    slots, and the per-voxel [V,27] rulebooks (whose 27V-query sorts
+    dominate both compile and rulebook runtime) are NOT built at all.
     """
+    from geoformer_tpu.ops.brick import build_brick_plan
+
     assert len(caps) == depth
     grid0 = voxelize(coords, mask, caps[0], spatial)
     grids = [grid0]
@@ -276,6 +321,17 @@ def build_grid_plan(
         links.append(link)
         grids.append(link.parent_grid)
         s //= 2
+    if brick_occupancy:
+        bricks = []
+        s = spatial
+        for lvl in range(depth):
+            # floor of 64 bricks covers tiny test capacities; never more
+            # slots than voxels
+            nb = min(caps[lvl], max(caps[lvl] // brick_occupancy, 64))
+            bricks.append(build_brick_plan(grids[lvl], s, nb))
+            s //= 2
+        return GridPlan(grids=tuple(grids), subm=(), links=tuple(links),
+                        bricks=tuple(bricks))
     subm = []
     s = spatial
     for lvl in range(depth):

@@ -39,6 +39,11 @@ class VoxelGrid(NamedTuple):
                   original index); invalid points last.
     starts:       [B, V+1] int32 segment boundaries of `order` per voxel:
                   points of voxel j are order[starts[j]:starts[j+1]].
+    n_overflow:   [B] int32 valid in-range points dropped to the pad voxel
+                  because the scene has more distinct voxels than V.
+    n_oor:        [B] int32 valid points whose coords fall outside
+                  [0, spatial)^3 (would alias the packed key; they are
+                  masked into the pad voxel instead).
     """
 
     p2v: jax.Array
@@ -49,6 +54,8 @@ class VoxelGrid(NamedTuple):
     counts: jax.Array
     order: jax.Array
     starts: jax.Array
+    n_overflow: jax.Array
+    n_oor: jax.Array
 
 
 def pack_key(coords: jax.Array, spatial: int) -> jax.Array:
@@ -69,7 +76,14 @@ def _voxelize_scene(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial
     v = num_voxels
     sentinel = jnp.int32(spatial * spatial * spatial)  # > any valid key
 
-    key = jnp.where(mask, pack_key(coords, spatial), sentinel)
+    # coords outside [0, spatial) would alias another cell's packed key
+    # (e.g. a >20.5 m scene at scale 50 under spatial 1024): mask them into
+    # the pad voxel and count them instead of corrupting keys
+    in_range = jnp.all((coords >= 0) & (coords < spatial), axis=-1)
+    ok = mask & in_range
+    n_oor = jnp.sum((mask & ~in_range).astype(jnp.int32))
+
+    key = jnp.where(ok, pack_key(coords, spatial), sentinel)
     order = jnp.argsort(key).astype(jnp.int32)  # stable; invalid points sort last
     skey = key[order]
 
@@ -79,7 +93,9 @@ def _voxelize_scene(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial
 
     vox_id_sorted = jnp.cumsum(head.astype(jnp.int32)) - 1  # [P], -1 before first head
     n_vox = jnp.sum(head.astype(jnp.int32))
-    # invalid points and capacity overflow land in the pad slot V
+    # invalid points and capacity overflow land in the pad slot V — counted,
+    # not silent: bench/drivers surface n_overflow > 0 as a degraded run
+    n_overflow = jnp.sum((valid_sorted & (vox_id_sorted >= v)).astype(jnp.int32))
     vox_id_sorted = jnp.where(valid_sorted & (vox_id_sorted < v), vox_id_sorted, v)
 
     # p2v: unique-index scatter (order is a permutation)
@@ -101,7 +117,8 @@ def _voxelize_scene(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial
     voxel_keys = jnp.where(voxel_mask, skey[first], sentinel)
     voxel_coords = jnp.where(voxel_mask[:, None], unpack_key(voxel_keys, spatial), -1)
 
-    return p2v, voxel_coords, voxel_keys, voxel_mask, n_vox, counts, order, starts
+    return (p2v, voxel_coords, voxel_keys, voxel_mask, n_vox, counts, order, starts,
+            n_overflow, n_oor)
 
 
 def voxelize(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial: int) -> VoxelGrid:

@@ -47,6 +47,30 @@ def maybe_shard(x, *spec):
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def shard_map_data(fn, *args):
+    """Run a batch-leading, param-free function under a data-axis shard_map.
+
+    Per-scene stages whose lowering SPMD can't partition (top_k / sort /
+    while bodies inside vmap — FPS, ball grouping, radius graphs) otherwise
+    get replicated with an all-gather of their inputs on multi-device
+    meshes. shard_map pins them to the local batch shard instead. Plain
+    call when no divisible "data" axis is ambient. Every arg and every
+    output leaf must have the batch as leading dim."""
+    mesh = jax.sharding.get_abstract_mesh()
+    axes = tuple(getattr(mesh, "axis_names", ()) or ())
+    b = args[0].shape[0]
+    if "data" not in axes or mesh.shape["data"] <= 1 or b % mesh.shape["data"]:
+        return fn(*args)
+    out_specs = jax.tree.map(lambda _: P("data"), jax.eval_shape(fn, *args))
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(P("data") for _ in args),
+        out_specs=out_specs,
+        check_vma=False,  # bodies are collective-free per-scene code
+    )(*args)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     # batch dim over "data" only; per-scene dims replicated (the model's
     # sharding constraints split queries over "model" where present)

@@ -113,6 +113,8 @@ _DEFAULTS = dict(
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
     tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
+    tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
+                                # (ops/brick.py; 0 = gather-rulebook path)
     tpu_subm_k=27,              # live-packed subm conv slots (27 = exact/off;
     # the one-hot-routed compact path lowered to per-voxel tiny GEMMs and
     # measured SLOWER than the full 27-slot conv on v5e — keep off)

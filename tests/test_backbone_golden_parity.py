@@ -170,7 +170,7 @@ def test_backbone_golden_parity(ref_backbone_modules):
     def run(mdl, batch):
         return mdl.forward_backbone(batch, train=False)
 
-    point_feats, scores, _ = model.apply(
+    point_feats, scores, _, _ = model.apply(
         variables, batch, rngs={"sample": k2}, method=run
     )
     got_feats = np.asarray(point_feats[0, :n])

@@ -69,7 +69,7 @@ def test_geoformer_forward_shapes(tiny_cfg, rngs):
         rngs={"sample": rngs["sample"], "dropout": rngs["dropout"]},
         mutable=["batch_stats"],
     )[0]
-    assert set(out2.keys()) == {"semantic_scores"}
+    assert set(out2.keys()) == {"semantic_scores", "voxel_stats"}
 
     # eval path with proposals
     out3 = model.apply(

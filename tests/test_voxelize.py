@@ -64,3 +64,35 @@ def test_voxelize_capacity_overflow():
     grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, S)
     assert int(grid.n_voxels[0]) <= V
     assert np.all(np.asarray(grid.p2v[0]) <= V)
+
+
+def test_overflow_counter():
+    rng = np.random.default_rng(2)
+    P, V, S = 200, 16, 32
+    coords, _ = make_scene(rng, P, S)
+    mask = np.ones(P, bool)
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, S)
+    keys = (coords[:, 2] * S + coords[:, 1]) * S + coords[:, 0]
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    # points whose voxel rank >= V are dropped to the pad slot — counted
+    expect = int(np.sum(inverse >= V))
+    assert int(grid.n_overflow[0]) == expect
+    assert int(grid.n_oor[0]) == 0
+    # no overflow when capacity covers all voxels
+    grid2 = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), len(uniq), S)
+    assert int(grid2.n_overflow[0]) == 0
+
+
+def test_out_of_range_coords_counted_not_aliased():
+    S, V = 32, 64
+    coords = np.array(
+        [[1, 1, 1], [33, 0, 0], [-1, 2, 2], [2, 2, 2]], np.int32
+    )  # [33,0,0] would alias key of [1,1,0]; [-1,..] negative
+    mask = np.ones(4, bool)
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, S)
+    assert int(grid.n_oor[0]) == 2
+    assert int(grid.n_voxels[0]) == 2  # only the two in-range points voxelize
+    p2v = np.asarray(grid.p2v[0])
+    assert p2v[1] == V and p2v[2] == V  # out-of-range -> pad slot
+    vc = np.asarray(grid.voxel_coords[0][: int(grid.n_voxels[0])])
+    assert {tuple(r) for r in vc} == {(1, 1, 1), (2, 2, 2)}

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--downsampling", type=int, default=50000)
     ap.add_argument("--spatial", type=int, default=512)
     ap.add_argument("--stages", type=str, default="all")
+    ap.add_argument("--brick_occupancy", type=int, default=None,
+                    help="override tpu_brick_occupancy (0 = rulebook path)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -50,6 +52,7 @@ def main():
         tpu_spatial_shape=args.spatial,
         tpu_unet_depth=args.depth,
         tpu_ball_nsample=64,
+        **({} if args.brick_occupancy is None else {"tpu_brick_occupancy": args.brick_occupancy}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
@@ -72,8 +75,10 @@ def main():
         from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
 
         caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
-        plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps)
-        return plan.subm[0], plan.grids[0].p2v
+        plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial, mc.depth,
+                               caps, brick_occupancy=mc.brick_occupancy or None)
+        first = plan.bricks[0].nbr if plan.bricks else plan.subm[0]
+        return first, plan.grids[0].p2v
 
     def unet(variables, batch, rng):
         from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
@@ -82,7 +87,8 @@ def main():
         def run(mdl):
             caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
             plan = build_grid_plan(
-                batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps
+                batch["coords"], batch["point_mask"], mc.spatial, mc.depth, caps,
+                brick_occupancy=mc.brick_occupancy or None,
             )
             feats = jnp.concatenate([batch["feats"], batch["points"]], axis=-1)
             vox = voxel_mean_pool(feats, plan.grids[0])
@@ -96,7 +102,7 @@ def main():
 
     def agg(variables, batch, rng):
         def run(mdl):
-            pf, ss, sp = mdl.forward_backbone(batch, train=False)
+            pf, ss, sp, _ = mdl.forward_backbone(batch, train=False)
             fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
             fg_locs = jax.vmap(lambda a, i: a[i])(batch["points"], fg_idx)
             fg_feats = jax.vmap(lambda a, i: a[i])(pf, fg_idx)
@@ -105,7 +111,7 @@ def main():
 
     def geo(variables, batch, rng):
         def run(mdl):
-            pf, ss, sp = mdl.forward_backbone(batch, train=False)
+            pf, ss, sp, _ = mdl.forward_backbone(batch, train=False)
             fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
             fg_locs = jax.vmap(lambda a, i: a[i])(batch["points"], fg_idx)
             fg_feats = jax.vmap(lambda a, i: a[i])(pf, fg_idx)
