@@ -11,7 +11,8 @@ import numpy as np
 
 
 def pad_scene(scene: dict, max_points: int, rng=None):
-    n = scene["points"].shape[0]
+    n_raw = scene["points"].shape[0]
+    n = n_raw
     if n > max_points:
         rng = rng or np.random.default_rng(0)
         sel = rng.choice(n, max_points, replace=False)
@@ -21,6 +22,8 @@ def pad_scene(scene: dict, max_points: int, rng=None):
             for k, v in scene.items()
         }
         n = max_points
+    else:
+        sel = np.arange(n)
 
     def pad(a, fill=0):
         out = np.full((max_points,) + a.shape[1:], fill, a.dtype)
@@ -38,6 +41,13 @@ def pad_scene(scene: dict, max_points: int, rng=None):
         "pc_mins": scene["points"].min(0).astype(np.float32) if n else np.zeros(3, np.float32),
         "pc_maxs": scene["points"].max(0).astype(np.float32) if n else np.ones(3, np.float32),
         "n_points": np.int32(n),
+        # raw-scene alignment: slot i of the padded arrays is raw point
+        # sel[i] (identity when the scene fits; -1 in the pad region).
+        # Eval drivers project masks back to raw resolution through this —
+        # the reference always scores at full N (test.py:33-134, no eval
+        # crop in scannetv2_inst.py:389-455).
+        "sel": pad(sel.astype(np.int32), fill=-1),
+        "n_raw": np.int32(n_raw),
     }
 
 

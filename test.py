@@ -16,6 +16,7 @@ import numpy as np
 from geoformer_tpu.data.scannet import BENCHMARK_SEMANTIC_LABELS, FOLD, InstDataset
 from geoformer_tpu.engine import Engine
 from geoformer_tpu.evaluation.gt import make_gt_ids
+from geoformer_tpu.evaluation.predictions import labels_to_raw, masks_to_raw
 from geoformer_tpu.evaluation.scannet_eval import ScanNetEval, print_results
 from geoformer_tpu.ops.nms import matrix_nms
 from geoformer_tpu.utils.checkpoint import load_checkpoint
@@ -25,8 +26,10 @@ from geoformer_tpu.utils.logger import create_logger
 import jax.numpy as jnp
 
 
-def proposals_to_pred_info(cfg, proposals, n_points):
-    """Apply keep flags + matrix NMS; return host pred_info dict."""
+def proposals_to_pred_info(cfg, proposals, batch, raw_xyz):
+    """Apply keep flags + matrix NMS; project masks to raw resolution
+    (reference scores at the scene's full N — test.py:33-134); return host
+    pred_info dict."""
     masks = proposals["masks"][0]  # [Q,P]
     scores = proposals["scores"][0]
     classes = proposals["classes"][0]
@@ -39,7 +42,7 @@ def proposals_to_pred_info(cfg, proposals, n_points):
         sigma=2.0, final_score_thresh=cfg.TEST_NMS_THRESH,
     )
     keep_np = np.asarray(keep_nms)
-    masks_np = np.asarray(masks)[keep_np][:, :n_points]
+    masks_np = masks_to_raw(np.asarray(masks)[keep_np], batch, raw_xyz)
     scores_np = np.asarray(scores)[keep_np]
     cls_np = np.asarray(classes)[keep_np]
     semantic_ids = bench[fold[np.clip(cls_np - 4, 0, len(fold) - 1)]]
@@ -98,19 +101,35 @@ def main():
         rng, sub = jax.random.split(rng)
         out = eval_fn(variables, jax.tree.map(jnp.asarray, batch), sub)
         n_points = int(batch["n_points"][0])
-        pred_info = proposals_to_pred_info(cfg, jax.device_get(out["proposals"]), n_points)
         raw = np.load(dataset.file_names[i])
-        gt_ids = make_gt_ids(raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32))[:n_points]
+        pred_info = proposals_to_pred_info(
+            cfg, jax.device_get(out["proposals"]), batch, raw[:, :3]
+        )
+        # gt at full raw resolution, never truncated — masks above are
+        # projected to the same raw N (reference test.py:33-134)
+        gt_ids = make_gt_ids(raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32))
         evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
+        vs = jax.device_get(out["voxel_stats"])
+        if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
+                or bool(vs["saturated"][0])):
+            logger.warning(
+                f"{scene_name}: voxel capacity degraded — "
+                f"{int(vs['n_overflow_points'][0])} points over voxel capacity, "
+                f"{int(vs['n_oor_points'][0])} outside the spatial grid, "
+                f"saturated={bool(vs['saturated'][0])} "
+                f"({int(vs['n_voxels'][0])}/{int(vs['capacity'][0])} voxels); "
+                f"raise TPU.tpu_max_voxels / tpu_spatial_shape"
+            )
         if save_dir is not None:
             if cfg.save_instance:
                 save_benchmark_predictions(save_dir, scene_name, pred_info)
             if cfg.save_semantic:
                 from geoformer_tpu.utils.visualize import export_scene_predictions
 
-                sem = np.asarray(jax.device_get(out["semantic_scores"]))[0, :n_points].argmax(-1)
+                sem_dev = np.asarray(jax.device_get(out["semantic_scores"]))[0]
+                sem = labels_to_raw(sem_dev, batch, raw[:, :3]).argmax(-1)
                 export_scene_predictions(
-                    save_dir, scene_name, raw[:n_points, :3], sem,
+                    save_dir, scene_name, raw[:, :3], sem,
                     pred_info["mask"].astype(bool),
                 )
         logger.info(

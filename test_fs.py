@@ -21,6 +21,7 @@ from geoformer_tpu.data.episodic import FSInstDataset
 from geoformer_tpu.data.scannet import BENCHMARK_SEMANTIC_LABELS
 from geoformer_tpu.engine import Engine
 from geoformer_tpu.evaluation.gt import make_gt_ids
+from geoformer_tpu.evaluation.predictions import nn_projection, scene_alignment
 from geoformer_tpu.evaluation.scannet_eval import ScanNetEval, average_over_runs, print_results
 from geoformer_tpu.models.geoformer_fs import GeoFormerFS
 from geoformer_tpu.ops.nms import matrix_nms
@@ -78,20 +79,36 @@ def main():
         )
 
     @jax.jit
-    def decode(cache, emb, pc_mins, pc_maxs):
-        dec = model.apply(
-            variables, cache, emb, pc_mins, pc_maxs, False,
-            method=GeoFormerFS.decode_with_support,
-        )
+    def decode_runs(cache, embs, pc_mins, pc_maxs):
+        """embs [R, 2m] -> per-run proposals with matrix NMS fused.
+
+        One dispatch per (scene, class) replaces the reference protocol's
+        run_num sequential decode+NMS dispatches (test_fs.py:157-174): the
+        support embeddings for every run are known up front, so the decode
+        leg vmaps over the run axis instead of paying the dispatch floor
+        run_num times."""
         from geoformer_tpu.models.geoformer_fs import generate_fs_proposal
 
-        props = generate_fs_proposal(
-            dec["mask_logits"][-1], jax.nn.sigmoid(dec["similarity"]),
-            dec["fg_idx"], dec["fg_valid"], cache_point_mask(cache),
-            logit_thresh=0.2, score_thresh=cfg.TEST_SCORE_THRESH,
-            npoint_thresh=cfg.TEST_NPOINT_THRESH, sim_score_thresh=cfg.similarity_thresh,
-        )
-        return props
+        def one(emb):
+            dec = model.apply(
+                variables, cache, emb[None], pc_mins, pc_maxs, False,
+                method=GeoFormerFS.decode_with_support,
+            )
+            props = generate_fs_proposal(
+                dec["mask_logits"][-1], jax.nn.sigmoid(dec["similarity"]),
+                dec["fg_idx"], dec["fg_valid"], cache_point_mask(cache),
+                logit_thresh=0.2, score_thresh=cfg.TEST_SCORE_THRESH,
+                npoint_thresh=cfg.TEST_NPOINT_THRESH, sim_score_thresh=cfg.similarity_thresh,
+            )
+            masks, scores, keep = props["masks"][0], props["scores"][0], props["keep"][0]
+            cats = jnp.zeros(scores.shape, jnp.int32)  # single class per pass
+            keep_nms, _ = matrix_nms(
+                masks, scores, cats, keep, sigma=2.0,
+                final_score_thresh=cfg.TEST_NMS_THRESH,
+            )
+            return {"masks": masks, "scores": scores, "keep": keep_nms}
+
+        return jax.vmap(one)(embs)
 
     def cache_point_mask(cache):
         # full point mask for scatter target size; stored on first encode
@@ -122,6 +139,7 @@ def main():
         n_scenes += 1
         t0 = time.time()
         raw = np.load(dataset._scene_path(scene_name))
+        raw_xyz = raw[:, :3]
         gt_raw_labels = raw[:, 6].astype(np.int32)
         gt_inst = raw[:, 7].astype(np.int32)
 
@@ -131,42 +149,53 @@ def main():
             rng, sub = jax.random.split(rng)
             cache = encode(batch, sub)
             cache["_point_mask"] = batch["point_mask"]
-            n_points = int(batch["n_points"][0])
-            scene_emb = None
+            vs = jax.device_get(cache["voxel_stats"])
+            if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
+                    or bool(vs["saturated"][0])):
+                logger.warning(
+                    f"{scene_name}/{cls}: voxel capacity degraded — "
+                    f"{int(vs['n_overflow_points'][0])} overflow, "
+                    f"{int(vs['n_oor_points'][0])} out-of-range points, "
+                    f"saturated={bool(vs['saturated'][0])}; raise TPU caps"
+                )
+            # raw-resolution mask projection (masks are scored at full N,
+            # like reference test_fs.py:176-231 — never against a
+            # truncated/subsampled gt)
+            n_points, n_raw, sel = scene_alignment(query_by_class[cls])
+            nn = nn_projection(raw_xyz, sel) if n_raw != n_points else None
             if support_embeddings is None:
+                # non-fixed path: one frozen support per scene — identical
+                # across runs, so decode once (R=1) and share the result
                 sup_scene, sup_inst = combs[scene_name][cls]
                 sup_batch = dataset.support_batch(sup_scene, int(sup_inst))
                 rng, sub2 = jax.random.split(rng)
-                scene_emb = embed_support(jax.tree.map(jnp.asarray, sup_batch), sub2)
+                embs = embed_support(jax.tree.map(jnp.asarray, sup_batch), sub2)
+            else:
+                embs = jnp.asarray(
+                    np.stack([support_embeddings[r][cls] for r in range(cfg.run_num)])
+                )
+            props = jax.device_get(
+                decode_runs(cache, embs, batch["pc_mins"], batch["pc_maxs"])
+            )
+            n_runs_decoded = int(embs.shape[0])
             for run_i in range(cfg.run_num):
-                emb = (
-                    scene_emb
-                    if scene_emb is not None
-                    else jnp.asarray(support_embeddings[run_i][cls][None])
-                )
-                props = jax.device_get(
-                    decode(cache, emb, batch["pc_mins"], batch["pc_maxs"])
-                )
-                masks = props["masks"][0]
-                scores = props["scores"][0]
-                keep = props["keep"][0]
-                cats = np.zeros(scores.shape, np.int32)  # single class per pass
-                keep_nms, _ = matrix_nms(
-                    jnp.asarray(masks), jnp.asarray(scores), jnp.asarray(cats),
-                    jnp.asarray(keep), sigma=2.0, final_score_thresh=cfg.TEST_NMS_THRESH,
-                )
-                keep_np = np.asarray(keep_nms)
+                r = run_i if n_runs_decoded > 1 else 0
+                keep_np = props["keep"][r]
+                scores = props["scores"][r]
                 for q in np.nonzero(keep_np)[0]:
+                    mask = props["masks"][r, q, :n_points]
+                    if nn is not None:
+                        mask = mask[nn]
                     per_run_preds[run_i].append(
                         {
                             "label_id": bench[cls],
                             "conf": float(scores[q]),
-                            "mask": masks[q, :n_points].astype(np.int32),
+                            "mask": mask.astype(np.int32),
                         }
                     )
 
-        # gt restricted to active classes (reference evaluates the full gt txt)
-        gt_ids = make_gt_ids(gt_raw_labels, gt_inst)[: n_points]
+        # gt at full raw resolution (reference evaluates the full gt txt)
+        gt_ids = make_gt_ids(gt_raw_labels, gt_inst)
         for run_i in range(cfg.run_num):
             preds = per_run_preds[run_i]
             pred_info = {
