@@ -51,7 +51,7 @@ SCALES = {
         n_decode_point=2048, n_query_points=256, n_downsampling=50000,
         tpu_max_points=250000, tpu_max_voxels=262144, tpu_max_fg_points=131072,
         tpu_knn_neighbors=64, tpu_geodesic_steps_eval=64, tpu_spatial_shape=1024,
-        tpu_unet_depth=7, tpu_ball_nsample=64,
+        tpu_unet_depth=7, tpu_ball_nsample=64, tpu_brick_occupancy=64,
     ),
     # production-shaped eval scene (one chip)
     "full": dict(
@@ -76,8 +76,22 @@ SCALES = {
 TIMEOUTS = {"prod": 3000, "full": 2400, "half": 1500, "small": 900}
 
 
+def _cache_entries() -> int:
+    from geoformer_tpu.utils.compilation_cache import _DEFAULT_DIR
+
+    d = os.environ.get("GEOFORMER_COMPILE_CACHE", _DEFAULT_DIR)
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return 0
+
+
 def measure(scale: str):
     import jax
+
+    from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
     from geoformer_tpu.utils.config import load_config
@@ -109,6 +123,7 @@ def measure(scale: str):
         vs = out["voxel_stats"]
         degraded = (
             jnp.sum(vs["n_overflow_points"]) + jnp.sum(vs["n_oor_points"])
+            + jnp.sum(vs["n_brick_overflow"])
         )
         return (
             jnp.sum(out["proposals"]["scores"])
@@ -152,6 +167,10 @@ def measure(scale: str):
                 "scale": scale,
                 "points": int(cfg.tpu_max_points),
                 "dropped_points": dropped_points,
+                # compile_s reflects the persistent XLA cache when warm
+                # (utils/compilation_cache.py) — cold first-ever compiles
+                # are the uncached number
+                "compile_cache_dir_entries": _cache_entries(),
                 "device": str(jax.devices()[0]),
             }
         ),

@@ -212,7 +212,14 @@ class FSInstDataset:
             return pickle.load(f)
 
     def test_batches(self):
-        """Yield (scene_name, active_classes, per-class query batches)."""
+        """Yield (scene_name, active_classes, ONE query batch per scene).
+
+        The per-class query batches of the reference protocol differ only
+        in their binary labels (scannetv2_fs_inst.py:testMergeFS) — which
+        the eval forward never reads — so the scene is padded and encoded
+        once and every active class decodes against the same cache (the
+        reference's own `remember` path reuses its cache across the scene
+        the same way, geoformer_fs.py:439-527)."""
         rng = np.random.default_rng(self.cfg.test_seed)
         combs = self.load_test_combinations()
         for path in self.file_names:
@@ -221,14 +228,11 @@ class FSInstDataset:
             active = comb.get("active_label", [])
             if not active:
                 continue
-            query_by_class = {
-                cls: pad_batch(
-                    [self._query_scene(name, cls, rng, aug=False)],
-                    self.cfg.tpu_max_points, rng,
-                )
-                for cls in active
-            }
-            yield name, active, query_by_class
+            batch = pad_batch(
+                [self._query_scene(name, active[0], rng, aug=False)],
+                self.cfg.tpu_max_points, rng,
+            )
+            yield name, active, batch
 
     def support_batch(self, scene_name, instance_id, rng=None, region_crop=None):
         rng = rng or np.random.default_rng(self.cfg.test_seed)

@@ -75,6 +75,10 @@ class ModelConfig:
     # capped first-visit BFS approximation, geodesic_utils.py:91-164)
     geodesic_hier: bool = True
     geodesic_fine_sweeps: int = 6
+    # fine smoothing runs on the nearest fine_k edge slots only (0 = all):
+    # the prod-scale fine-sweep gathers were the single biggest line item
+    # (~1.1 s of the 2.5 s forward at 131k fg points, K=64)
+    geodesic_fine_k: int = 16
     geodesic_cell_factor: float = 2.0
     ball_radius: float = 0.2
     ball_nsample: int = 64
@@ -147,6 +151,7 @@ class ModelConfig:
             geodesic_steps_eval=cfg.tpu_geodesic_steps_eval,
             geodesic_hier=cfg.tpu_geodesic_hier,
             geodesic_fine_sweeps=cfg.tpu_geodesic_fine_sweeps,
+            geodesic_fine_k=cfg.tpu_geodesic_fine_k,
             geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
@@ -389,6 +394,7 @@ class GeoFormerBase(nn.Module):
                     nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius,
                     steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
                     cell_factor=mc.geodesic_cell_factor,
+                    fine_k=mc.geodesic_fine_k or None,
                 )  # [B, F, Q]
             # symmetrize=False: the radius-kNN graph is symmetric up to the
             # K cap, so the reverse-edge table would double relaxation

@@ -87,14 +87,13 @@ def _scatter_scene(feats, brick, cell, ok, nb):
     """[V,C] sparse -> [NB, 8,8,8, C] dense (zeros at empty cells)."""
     v, c = feats.shape
     flat = brick * (BS ** 3) + cell
-    # invalid/overflow voxels each get a distinct dump slot past the dense
-    # region so the scatter stays collision-free (unique indices)
-    dump = nb * (BS ** 3) + jnp.arange(v, dtype=jnp.int32)
-    flat = jnp.where(ok & (brick < nb), flat, dump)
-    dense = jnp.zeros((nb * (BS ** 3) + v, c), feats.dtype).at[flat].set(
-        feats, unique_indices=True, mode="promise_in_bounds"
+    # invalid/overflow voxels scatter out of bounds and are dropped —
+    # no dump region, no iota, exactly-sized buffer
+    flat = jnp.where(ok & (brick < nb), flat, nb * (BS ** 3))
+    dense = jnp.zeros((nb * (BS ** 3), c), feats.dtype).at[flat].set(
+        feats, unique_indices=True, mode="drop"
     )
-    return dense[: nb * (BS ** 3)].reshape(nb, BS, BS, BS, c)
+    return dense.reshape(nb, BS, BS, BS, c)
 
 
 def _gather_scene(dense, brick, cell, nb):

@@ -382,7 +382,7 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
 
 def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                 positions, n_steps, fine_sweeps=6, cell_factor=2.0,
-                c_cap=None, kc=32, k_sub=16, block_size=512):
+                c_cap=None, kc=32, k_sub=16, block_size=512, fine_k=None):
     """Two-level geodesic solve: coarse cell-graph fixpoint + prolongation +
     a fixed number of fine sweeps.
 
@@ -424,7 +424,15 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     # letting a fine-tuned n_steps truncate the long-range solve
     cdist = _block_sweeps(cnb2, cw2, cdist, max(n_steps, 256), cblock, early_exit=True)
 
-    # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count)
+    # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count).
+    # The fine sweeps only smooth the coarse prolongation locally, so they
+    # can run on the first fine_k (nearest — radius_knn packs ascending)
+    # edge slots: at 2 cm scan density the 64-NN-within-5cm table is ~4x
+    # redundant for local smoothing, and each dropped slot removes a full
+    # [Q]-row gather per point per sweep (the prod-scale hot spot).
+    if fine_k is not None and fine_k < nb.shape[1]:
+        nb = nb[:, :fine_k]
+        w = w[:, :fine_k]
     perm = _spatial_order(positions, point_mask, cell * 2)
     inv = _invert_perm(perm)
     inv_pad = jnp.concatenate([inv, jnp.full((1,), p, jnp.int32)])
@@ -448,16 +456,19 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
 
 def geodesic_distance_hier(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                            n_steps, positions, fine_sweeps=6, cell_factor=2.0,
-                           kc=32, k_sub=16):
+                           kc=32, k_sub=16, fine_k=None):
     """Batched two-level approximate geodesics (see _hier_scene).
 
     Same [B,P,Q] / -1 contract as geodesic_distance; `n_steps` bounds the
     coarse solve (it converges and early-exits long before room-scale caps).
+    fine_k restricts the fine smoothing sweeps to the nearest fine_k edges
+    (None = all).
     """
     return jax.lax.map(
         lambda a: _hier_scene(
             a[0], a[1], a[2], a[3], a[4], radius, a[5], n_steps,
             fine_sweeps=fine_sweeps, cell_factor=cell_factor, kc=kc, k_sub=k_sub,
+            fine_k=fine_k,
         ),
         (nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions),
     )

@@ -124,6 +124,7 @@ _DEFAULTS = dict(
     # sweeps (ops/geodesic.py:_hier_scene) — ~7-10x faster at eval scale
     tpu_geodesic_hier=True,
     tpu_geodesic_fine_sweeps=6,
+    tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
     tpu_geodesic_cell_factor=2.0,
     # sweep-units, not single hops: one forward+backward block sweep pair
     # propagates many hops (see ops/geodesic.py); 64 units cover any
@@ -172,7 +173,14 @@ def load_config(yaml_path: str | None = None, **overrides) -> Config:
 
 
 def config_from_args(argv=None) -> Config:
-    """CLI entry matching the reference's argparse surface (util/config.py)."""
+    """CLI entry matching the reference's argparse surface (util/config.py).
+
+    Also enables the persistent XLA compilation cache for every driver —
+    full-scale forwards compile in minutes and the executables are
+    reusable across runs (utils/compilation_cache.py)."""
+    from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser("geoformer_tpu")
     p.add_argument("--config", type=str, default=None, help="path to config yaml")
     p.add_argument("--pretrain", type=str, default=None, help="path to pretrain checkpoint")

@@ -1,0 +1,135 @@
+"""Hier-geodesic approximation tied to the metric that matters: AP.
+
+The production two-level solve (ops/geodesic.py:_hier_scene) is
+O(cell)-approximate. Its raw distance error is characterized elsewhere
+(test_point_ops: mean |err| 5-8 cm, p95 < 0.2 m); this test measures the
+effect on ScanNet AP through the pathway the model actually uses geodesics
+for — separating instances across walls. Segmentation oracle: masks are
+geodesic balls around per-instance query points (exactly the structure the
+dynamic-conv mask head learns from its geodesic-corrected coordinates), on
+a scene of rooms separated by a thin wall with a small doorway. Euclidean
+distance would bleed masks through the wall; a correct geodesic keeps AP at
+1.0. Documented bound: the hier solve must not cost more than 0.05 AP50 /
+AP25 vs the exact solver on this scene (in practice it matches exactly).
+
+(A trained-checkpoint AP comparison at eval scale lives in the CLI flow —
+the tiny CPU smoke trains minutes per phase, too heavy for the unit suite.)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from geoformer_tpu.evaluation.scannet_eval import ScanNetEval
+from geoformer_tpu.ops.geodesic import geodesic_distance, geodesic_distance_hier
+from geoformer_tpu.ops.radius_graph import radius_knn
+
+
+def make_walled_scene(seed=0, spacing=0.02):
+    """Two rooms (x<1 and x>1) joined by a doorway at y in [1.4, 1.6]:
+    floor points everywhere except a wall plane at x=1 blocks direct paths.
+
+    Instances: one blob per room near the wall — euclidean distance between
+    them is ~10 cm through the wall, geodesic goes through the door (~2 m).
+    """
+    rng = np.random.default_rng(seed)
+    pts = []
+    # floor grid 2m x 2m with a wall gap: remove points at x ~ 1.0 except door
+    xs = np.arange(0.05, 1.95, spacing)
+    ys = np.arange(0.05, 1.95, spacing)
+    gx, gy = np.meshgrid(xs, ys)
+    keep = ~((np.abs(gx - 1.0) < 0.03) & ~((gy > 1.4) & (gy < 1.6)))
+    floor = np.stack([gx[keep], gy[keep], np.zeros(keep.sum())], axis=1)
+    pts.append(floor + rng.normal(0, 0.002, floor.shape))
+    xyz = np.concatenate(pts).astype(np.float32)
+
+    # two instance blobs hugging the wall on either side, away from the door
+    def blob(center, n=130, r=0.12):
+        d = rng.normal(size=(n, 3)) * [1, 1, 0]
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        return (center + d * (rng.random((n, 1)) ** 0.5) * r).astype(np.float32)
+
+    inst_a = blob(np.array([0.85, 0.5, 0.0]))
+    inst_b = blob(np.array([1.15, 0.5, 0.0]))
+    all_pts = np.concatenate([xyz, inst_a, inst_b])
+    inst = np.full(all_pts.shape[0], -1, np.int32)
+    inst[xyz.shape[0]: xyz.shape[0] + len(inst_a)] = 0
+    inst[xyz.shape[0] + len(inst_a):] = 1
+    return all_pts, inst
+
+
+def _ap_for_solver(hier: bool, fine_k=None):
+    pts, inst = make_walled_scene()
+    f = pts.shape[0]
+    mask = np.ones(f, bool)
+    radius = 0.05
+    # K must exceed the typical in-radius neighbor count, or the pull-based
+    # relaxation loses in-edges to dense spots (symmetrize=False contract —
+    # production K=64 covers 2 cm scan density the same way)
+    d2, nbr_i = radius_knn(
+        jnp.asarray(pts[None]), jnp.asarray(mask[None]), radius, 32, cell_cap=16
+    )
+    nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
+
+    # one seed per instance (blob centroids' nearest points)
+    seeds = []
+    for i in (0, 1):
+        sel = np.nonzero(inst == i)[0]
+        c = pts[sel].mean(0)
+        seeds.append(sel[np.argmin(np.linalg.norm(pts[sel] - c, axis=1))])
+    seeds = jnp.asarray(np.asarray(seeds)[None], jnp.int32)
+    seed_mask = jnp.ones((1, 2), bool)
+
+    if hier:
+        geo = geodesic_distance_hier(
+            nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
+            64, jnp.asarray(pts[None]), fine_sweeps=6, cell_factor=2.0,
+            fine_k=fine_k,
+        )
+    else:
+        geo = geodesic_distance(
+            nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
+            256, symmetrize=False, positions=jnp.asarray(pts[None]),
+        )
+    g = np.asarray(geo[0])  # [F, 2]
+
+    # oracle masks: geodesic ball of 0.25 m around each query, restricted
+    # to foreground (instance) points — the same structure the model's
+    # pipeline produces (semantic fg filter, then geodesic-driven masks).
+    # Each ball covers its own blob; the other blob is ~10 cm away
+    # euclidean but ~2 m geodesic through the doorway
+    fg = (inst >= 0)[None, :]
+    pred_masks = (((g >= 0) & (g <= 0.25)).T & fg).astype(np.int32)  # [2, F]
+    pred_info = {
+        "label_id": np.asarray([3, 3], np.int64),  # benchmark id of class 2
+        "conf": np.asarray([0.9, 0.9], np.float64),
+        "mask": pred_masks,
+    }
+    gt_ids = np.zeros(f, np.int64)
+    for i in (0, 1):
+        gt_ids[inst == i] = 3 * 1000 + i + 1
+    ev = ScanNetEval(cvfold=0)
+    ev.assign_instances_for_scan("walled", pred_info, gt_ids)
+    a = ev.compute_averages()
+    return a["all_ap_50%"], a["all_ap_25%"]
+
+
+@pytest.mark.slow
+def test_hier_geodesic_ap_within_bound():
+    ap50_exact, ap25_exact = _ap_for_solver(hier=False)
+    ap50_hier, ap25_hier = _ap_for_solver(hier=True)
+    # the exact solver must nail the wall scene outright
+    assert ap50_exact == 1.0 and ap25_exact == 1.0
+    # documented bound for the production approximation
+    assert ap50_hier >= ap50_exact - 0.05
+    assert ap25_hier >= ap25_exact - 0.05
+
+
+@pytest.mark.slow
+def test_hier_fine_k_ap_within_bound():
+    """The production config restricts fine smoothing to the nearest 16
+    edges (tpu_geodesic_fine_k) — same AP bound must hold."""
+    ap50_exact, ap25_exact = _ap_for_solver(hier=False)
+    ap50_k, ap25_k = _ap_for_solver(hier=True, fine_k=16)
+    assert ap50_k >= ap50_exact - 0.05
+    assert ap25_k >= ap25_exact - 0.05
