@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
-from geoformer_tpu.ops.brick import dense_subm_conv, from_dense, to_dense
+from geoformer_tpu.ops.brick import (
+    dense_subm_conv,
+    down_conv_bricks,
+    from_dense,
+    to_dense,
+    up_conv_bricks,
+)
 from geoformer_tpu.ops.sparse_conv import GridPlan, apply_subm, dense_1x1, down_conv, subm_conv, up_conv
 
 
@@ -150,15 +156,21 @@ class UBlock(nn.Module):
     level: int = 0
     compute_dtype: object = None
     remat: bool = False
+    rep_io: bool = False  # in/out are level-rep (dense bricks), not sparse
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
-        """feats: sparse [B, V_lvl, C] in; sparse [B, V_lvl, c0] out.
-        Internally the level may be brick-dense (_LevelCtx)."""
+        """feats: sparse [B, V_lvl, C] in; sparse [B, V_lvl, c0] out —
+        unless rep_io, in which case both are the level representation
+        (dense bricks in brick mode). Internally the level may be
+        brick-dense (_LevelCtx)."""
         lvl = self.level
         ctx = _LevelCtx.for_level(plan, lvl)
         vmask = plan.grids[lvl].voxel_mask
         c0 = self.n_planes[0]
+        # brick-native transitions: down/up convs run in brick space, so
+        # recursion stays dense end-to-end (no sparse<->dense per level)
+        native = bool(plan.brick_links)
         # rematerialize residual blocks during training to trade FLOPs for
         # HBM (jax.checkpoint; reference has no analog — torch keeps all
         # activations and OOM-guards with empty_cache, train.py:49)
@@ -168,7 +180,7 @@ class UBlock(nn.Module):
             else ResidualBlock
         )
 
-        x = ctx.enter(feats)
+        x = feats if self.rep_io else ctx.enter(feats)
         for i in range(self.block_reps):
             cin = x.shape[-1] if i == 0 else c0
             x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, ctx, train)
@@ -176,13 +188,18 @@ class UBlock(nn.Module):
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
             identity = x
-            # down: BN, ReLU, SparseConv3d k2s2 (sparse 8-slot rulebook)
+            # down: BN, ReLU, SparseConv3d k2s2
             d = MaskedBatchNorm(c0, name="conv_bn")(x, ctx.mask, train)
             d = nn.relu(d)
             wd = self.param(
                 "conv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c0, c1)
             )
-            d = down_conv(ctx.exit(d), plan.links[lvl], wd, compute_dtype=self.compute_dtype)
+            if native:
+                d = down_conv_bricks(d, plan.bricks[lvl], plan.brick_links[lvl],
+                                     wd, compute_dtype=self.compute_dtype)
+            else:
+                d = down_conv(ctx.exit(d), plan.links[lvl], wd,
+                              compute_dtype=self.compute_dtype)
             d = UBlock(
                 self.n_planes[1:],
                 self.block_reps,
@@ -190,18 +207,27 @@ class UBlock(nn.Module):
                 level=lvl + 1,
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
+                rep_io=native,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
-            u = MaskedBatchNorm(c1, name="deconv_bn")(d, plan.grids[lvl + 1].voxel_mask, train)
+            child_mask = (plan.bricks[lvl + 1].occ if native
+                          else plan.grids[lvl + 1].voxel_mask)
+            u = MaskedBatchNorm(c1, name="deconv_bn")(d, child_mask, train)
             u = nn.relu(u)
             wu = self.param(
                 "deconv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c1, c0)
             )
-            u = up_conv(u, plan.links[lvl], wu, compute_dtype=self.compute_dtype)
-            u = jnp.where(vmask[..., None], u, 0.0)
+            if native:
+                u = up_conv_bricks(u, plan.brick_links[lvl], wu,
+                                   compute_dtype=self.compute_dtype)
+                u = jnp.where(ctx.mask[..., None], u, 0.0)
+            else:
+                u = up_conv(u, plan.links[lvl], wu, compute_dtype=self.compute_dtype)
+                u = jnp.where(vmask[..., None], u, 0.0)
+                u = ctx.enter(u)
 
-            x = jnp.concatenate([identity, ctx.enter(u)], axis=-1)
+            x = jnp.concatenate([identity, u], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
                 x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, ctx, train)
@@ -213,9 +239,10 @@ class UBlock(nn.Module):
             h = nn.Dense(d_model, name="before_transformer_linear")(x)
             h = BottleneckTransformer(d_model, name="transformer")(h, xyz, vmask, train)
             x = nn.Dense(c0, name="after_transformer_linear")(h)
-            return jnp.where(vmask[..., None], x, 0.0)
+            x = jnp.where(vmask[..., None], x, 0.0)
+            return ctx.enter(x) if self.rep_io else x
 
-        return ctx.exit(x)
+        return x if self.rep_io else ctx.exit(x)
 
 
 class SparseUNetBackbone(nn.Module):
@@ -237,19 +264,30 @@ class SparseUNetBackbone(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, voxel_feats.shape[-1], self.m),
         )
-        if plan.bricks:
-            nbr0 = plan.bricks[0]
-        elif plan.subm_compact:
-            nbr0 = plan.subm_compact[0]
-        else:
-            nbr0 = plan.subm[0]
-        x = apply_subm(voxel_feats, nbr0, w_in, compute_dtype=self.compute_dtype)
-        x = jnp.where(vmask0[..., None], x, 0.0)
-
         planes = [self.m * (i + 1) for i in range(self.depth)]
-        x = UBlock(planes, self.block_reps, True, level=0,
-                   compute_dtype=self.compute_dtype, remat=self.remat,
-                   name="unet")(x, plan, train)
+        if plan.bricks and plan.brick_links:
+            # brick-native: scatter to dense bricks ONCE, input conv and the
+            # whole U recursion stay dense, gather back once at the end
+            bp0 = plan.bricks[0]
+            xd = to_dense(voxel_feats, bp0)
+            xd = dense_subm_conv(xd, bp0, w_in, compute_dtype=self.compute_dtype)
+            xd = jnp.where(bp0.occ[..., None], xd, 0.0)
+            xd = UBlock(planes, self.block_reps, True, level=0,
+                        compute_dtype=self.compute_dtype, remat=self.remat,
+                        rep_io=True, name="unet")(xd, plan, train)
+            x = from_dense(xd, bp0)
+        else:
+            if plan.bricks:
+                nbr0 = plan.bricks[0]
+            elif plan.subm_compact:
+                nbr0 = plan.subm_compact[0]
+            else:
+                nbr0 = plan.subm[0]
+            x = apply_subm(voxel_feats, nbr0, w_in, compute_dtype=self.compute_dtype)
+            x = jnp.where(vmask0[..., None], x, 0.0)
+            x = UBlock(planes, self.block_reps, True, level=0,
+                       compute_dtype=self.compute_dtype, remat=self.remat,
+                       name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from geoformer_tpu.ops.voxelize import VoxelGrid, voxelize
+from geoformer_tpu.ops.voxelize import VoxelGrid, pack_key, unpack_key, voxelize
 
 BS = 8  # brick side (cells); 8^3 = 512 cells per brick
 
@@ -53,6 +53,7 @@ class BrickPlan(NamedTuple):
     mask: jax.Array
     occ: jax.Array
     n_overflow: jax.Array
+    keys: jax.Array  # [B, NB] sorted packed brick keys (for level linking)
 
     @property
     def num_bricks(self) -> int:
@@ -79,7 +80,7 @@ def build_brick_plan(grid: VoxelGrid, spatial: int, num_bricks: int) -> BrickPla
     )(bgrid.p2v, cell, ones)[..., 0] > 0.5
     return BrickPlan(
         brick=bgrid.p2v, cell=cell, nbr=nbr, mask=bgrid.voxel_mask, occ=occ,
-        n_overflow=overflow,
+        n_overflow=overflow, keys=bgrid.voxel_keys,
     )
 
 
@@ -192,6 +193,166 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
         ).astype(jnp.float32)  # [NB, 8,8,8, Cout]
 
     return jax.vmap(scene)(dense, plan.nbr)
+
+
+class BrickDownLink(NamedTuple):
+    """Brick-level connectivity between level l and level l+1.
+
+    A level-(l+1) brick covers 16^3 level-l cells = exactly 2^3 level-l
+    bricks, so strided/inverse k=2 convs stay entirely in brick space —
+    no sparse<->dense transition per level (those cost ~17 ms each way at
+    prod scale).
+
+    parent:   [B, NBc] int32 child brick -> parent brick slot (NBp = pad)
+    octant:   [B, NBc] int32 position within the parent brick (z*4+y*2+x)
+    children: [B, NBp, 8] int32 parent -> child brick slot per octant
+              (NBc = missing)
+    """
+
+    parent: jax.Array
+    octant: jax.Array
+    children: jax.Array
+
+
+def build_brick_down_link(child_keys, child_mask, parent_keys, parent_mask,
+                          child_bspatial: int) -> BrickDownLink:
+    """child/parent brick grids' sorted packed keys -> BrickDownLink.
+
+    child_keys [B,NBc], parent_keys [B,NBp] (sorted `BrickPlan.keys` of the
+    respective levels' brick grids)."""
+    nbc = child_keys.shape[1]
+    nbp = parent_keys.shape[1]
+    pbspatial = max(child_bspatial // 2, 1)
+
+    def scene(ck, cm, pk, pm):
+        cc = unpack_key(ck, child_bspatial)  # [NBc,3] (x,y,z); garbage at pads
+        cc = jnp.where(cm[:, None], cc, 0)
+        pkey = pack_key(cc // 2, pbspatial)
+        idx = jnp.searchsorted(pk, pkey, method="sort").astype(jnp.int32)
+        idx = jnp.minimum(idx, nbp - 1)
+        found = cm & (pk[idx] == pkey) & pm[idx]
+        parent = jnp.where(found, idx, nbp).astype(jnp.int32)
+        par = cc % 2
+        octant = (par[:, 2] * 4 + par[:, 1] * 2 + par[:, 0]).astype(jnp.int32)
+        octant = jnp.where(found, octant, 0)
+        # children rulebook: (parent, octant) -> child brick. Unique by
+        # geometry (a parent octant is one child brick coord); not-found
+        # children scatter out of bounds and drop
+        slot = jnp.where(found, parent * 8 + octant, nbp * 8)
+        children = jnp.full((nbp * 8,), nbc, jnp.int32).at[slot].set(
+            jnp.arange(nbc, dtype=jnp.int32), unique_indices=True, mode="drop",
+        ).reshape(nbp, 8)
+        return parent, octant, children
+
+    parent, octant, children = jax.vmap(scene)(
+        child_keys, child_mask, parent_keys, parent_mask
+    )
+    return BrickDownLink(parent=parent, octant=octant, children=children)
+
+
+def _cells_to_octants(x: jax.Array) -> jax.Array:
+    """Within-brick stride-2 split: [N,8,8,8,C] -> [N,8,4,4,4,C].
+
+    Cell (2i+a, 2j+b, 2k+c) lands at octant o=a*4+b*2+c, position (i,j,k)."""
+    n, _, _, _, c = x.shape
+    x = x.reshape(n, 4, 2, 4, 2, 4, 2, c)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # [n, a,b,c, i,j,k, C]
+    return x.reshape(n, 8, 4, 4, 4, c)
+
+
+def _octants_to_cells(x: jax.Array) -> jax.Array:
+    """Inverse of _cells_to_octants: [N,8,4,4,4,C] -> [N,8,8,8,C]."""
+    n = x.shape[0]
+    c = x.shape[-1]
+    x = x.reshape(n, 2, 2, 2, 4, 4, 4, c)
+    x = x.transpose(0, 4, 1, 5, 2, 6, 3, 7)  # [n, i,a, j,b, k,c, C]
+    return x.reshape(n, 8, 8, 8, c)
+
+
+def _assemble_bricks(x: jax.Array) -> jax.Array:
+    """Quarter blocks -> parent brick: [N,8,4,4,4,C] -> [N,8,8,8,C].
+
+    Octant zb contributes parent cells [4*zb, 4*zb+4) per axis (block
+    layout, unlike the interleaved _octants_to_cells)."""
+    n = x.shape[0]
+    c = x.shape[-1]
+    x = x.reshape(n, 2, 2, 2, 4, 4, 4, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [n, zb,q, yb,q, xb,q, C]
+    return x.reshape(n, 8, 8, 8, c)
+
+
+def _disassemble_bricks(x: jax.Array) -> jax.Array:
+    """Inverse of _assemble_bricks: [N,8,8,8,C] -> [N,8,4,4,4,C]."""
+    n, _, _, _, c = x.shape
+    x = x.reshape(n, 2, 4, 2, 4, 2, 4, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(n, 8, 4, 4, 4, c)
+
+
+def down_conv_bricks(dense: jax.Array, child_plan: BrickPlan, link: BrickDownLink,
+                     w: jax.Array, precision=None, compute_dtype=None) -> jax.Array:
+    """Strided k=2 s=2 conv in brick space (SparseConv3d, sparse_conv.py
+    down_conv semantics; w [8,Cin,Cout], offset index z*4+y*2+x).
+
+    dense [B,NBc,8,8,8,Cin] (level l) -> [B,NBp,8,8,8,Cout] (level l+1).
+    The 2^3 windows are even-aligned within a brick, so no halo is needed:
+    one [NBc*64, 8*Cin] @ [8*Cin, Cout] GEMM per scene, then parent bricks
+    assemble from their 8 child bricks' quarter outputs (one gather +
+    transpose). The input is masked to the child occupancy; output cells
+    follow the dense_subm_conv contract (unmasked — read via occ)."""
+    cin, cout = w.shape[1], w.shape[2]
+    if compute_dtype is not None:
+        dense = dense.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    dense = jnp.where(child_plan.occ[..., None], dense, 0)
+    wm = w.reshape(8 * cin, cout)
+
+    def scene(d, children):
+        oc = _cells_to_octants(d)  # [NBc, 8, 4,4,4, Cin]
+        nbc = oc.shape[0]
+        gm = oc.transpose(0, 2, 3, 4, 1, 5).reshape(nbc, 64, 8 * cin)
+        q = jax.lax.dot_general(
+            gm, wm, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).reshape(nbc, 4, 4, 4, cout)
+        qp = jnp.concatenate([q, jnp.zeros((1,) + q.shape[1:], q.dtype)], axis=0)
+        return _assemble_bricks(qp[children])  # [NBp, 8,8,8, Cout]
+
+    return jax.vmap(scene)(dense, link.children)
+
+
+def up_conv_bricks(parent_dense: jax.Array, link: BrickDownLink, w: jax.Array,
+                   precision=None, compute_dtype=None) -> jax.Array:
+    """Inverse k=2 conv in brick space (SparseInverseConv3d, sparse_conv.py
+    up_conv semantics: out[child 2i+o] = parent[i] @ w[o]).
+
+    parent_dense [B,NBp,8,8,8,Cin] -> child [B,NBc,8,8,8,Cout]: split each
+    parent brick into its 8 quarter blocks, gather the quarter covering
+    each child brick by flat index parent*8+octant (one gather), then one
+    [NBc*64, Cin] @ [Cin, 8*Cout] GEMM distributes every parent cell to
+    its 2^3 children. Output is unmasked (read via child occ)."""
+    cin, cout = w.shape[1], w.shape[2]
+    if compute_dtype is not None:
+        parent_dense = parent_dense.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    wm = w.transpose(1, 0, 2).reshape(cin, 8 * cout)
+
+    def scene(pd, parent, octant):
+        nbp = pd.shape[0]
+        quarters = _disassemble_bricks(pd).reshape(nbp * 8, 4, 4, 4, cin)
+        qp = jnp.concatenate(
+            [quarters, jnp.zeros((1,) + quarters.shape[1:], quarters.dtype)], axis=0
+        )
+        flat = jnp.where(parent < nbp, parent * 8 + octant, nbp * 8)
+        g = qp[flat]  # [NBc, 4,4,4, Cin] — the parent quarter over this brick
+        nbc = g.shape[0]
+        out = jax.lax.dot_general(
+            g.reshape(nbc, 64, cin), wm, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).reshape(nbc, 4, 4, 4, 8, cout)
+        return _octants_to_cells(out.transpose(0, 4, 1, 2, 3, 5))
+
+    return jax.vmap(scene)(parent_dense, link.parent, link.octant)
 
 
 def subm_conv_bricks(feats: jax.Array, plan: BrickPlan, w: jax.Array,

@@ -236,6 +236,9 @@ class GridPlan(NamedTuple):
             (compact_subm_neighbors) consumed by subm_conv_compact.
     bricks: () or tuple of BrickPlan (ops/brick.py) — dense-brick subm
             convs, the production TPU path.
+    brick_links: () or tuple of BrickDownLink (len depth-1) — brick-space
+            down/up convs so levels stay dense end-to-end (no per-level
+            sparse<->dense transitions).
     """
 
     grids: tuple
@@ -243,6 +246,7 @@ class GridPlan(NamedTuple):
     links: tuple
     subm_compact: tuple = ()
     bricks: tuple = ()
+    brick_links: tuple = ()
 
 
 def apply_subm(feats, nbr, w, precision=None, compute_dtype=None):
@@ -322,6 +326,8 @@ def build_grid_plan(
         grids.append(link.parent_grid)
         s //= 2
     if brick_occupancy:
+        from geoformer_tpu.ops.brick import BS, build_brick_down_link
+
         bricks = []
         s = spatial
         for lvl in range(depth):
@@ -330,8 +336,17 @@ def build_grid_plan(
             nb = min(caps[lvl], max(caps[lvl] // brick_occupancy, 64))
             bricks.append(build_brick_plan(grids[lvl], s, nb))
             s //= 2
+        blinks = []
+        s = spatial
+        for lvl in range(depth - 1):
+            blinks.append(build_brick_down_link(
+                bricks[lvl].keys, bricks[lvl].mask,
+                bricks[lvl + 1].keys, bricks[lvl + 1].mask,
+                max(s // BS, 1),
+            ))
+            s //= 2
         return GridPlan(grids=tuple(grids), subm=(), links=tuple(links),
-                        bricks=tuple(bricks))
+                        bricks=tuple(bricks), brick_links=tuple(blinks))
     subm = []
     s = spatial
     for lvl in range(depth):

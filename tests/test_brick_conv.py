@@ -10,11 +10,24 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from geoformer_tpu.ops.brick import BrickPlan, build_brick_plan, subm_conv_bricks
+from geoformer_tpu.ops.brick import (
+    BS,
+    BrickPlan,
+    build_brick_down_link,
+    build_brick_plan,
+    down_conv_bricks,
+    from_dense,
+    subm_conv_bricks,
+    to_dense,
+    up_conv_bricks,
+)
 from geoformer_tpu.ops.sparse_conv import (
+    build_downsample,
     build_grid_plan,
     build_subm_neighbors,
+    down_conv,
     subm_conv,
+    up_conv,
     voxel_capacities,
 )
 from geoformer_tpu.ops.voxelize import voxelize
@@ -90,6 +103,102 @@ def test_brick_overflow_counted():
     # uniform random over 8^3 bricks of a 64^3 grid -> way more than 16
     # occupied bricks
     assert int(plan.n_overflow[0]) > 0
+
+
+def _two_level_fixture(rng, spatial=32, P=600, V=512, Vp=384):
+    coords = make_surface_coords(rng, P, spatial)
+    mask = np.ones(P, bool)
+    mask[560:] = False
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, spatial)
+    link = build_downsample(grid, spatial, Vp)
+    bp0 = build_brick_plan(grid, spatial, num_bricks=256)
+    bp1 = build_brick_plan(link.parent_grid, spatial // 2, num_bricks=128)
+    assert int(bp0.n_overflow[0]) == 0 and int(bp1.n_overflow[0]) == 0
+    blink = build_brick_down_link(bp0.keys, bp0.mask, bp1.keys, bp1.mask,
+                                  max(spatial // BS, 1))
+    return grid, link, bp0, bp1, blink
+
+
+def test_brick_down_conv_matches_sparse():
+    """down_conv_bricks == down_conv (SparseConv3d k2s2) at parent voxels."""
+    rng = np.random.default_rng(4)
+    grid, link, bp0, bp1, blink = _two_level_fixture(rng)
+    cin, cout = 6, 9
+    feats = jnp.asarray(rng.normal(size=(1, grid.voxel_keys.shape[1], cin)))
+    feats = jnp.where(jnp.asarray(grid.voxel_mask)[..., None],
+                      feats.astype(jnp.float32), 0.0)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32) * 0.3)
+
+    ref = down_conv(feats, link, w)  # [1, Vp, cout]
+    got = from_dense(down_conv_bricks(to_dense(feats, bp0), bp0, blink, w), bp1)
+    pm = np.asarray(link.parent_grid.voxel_mask[0])
+    np.testing.assert_allclose(np.asarray(got[0])[pm], np.asarray(ref[0])[pm],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_brick_up_conv_matches_sparse():
+    """up_conv_bricks == up_conv (SparseInverseConv3d k2) at child voxels."""
+    rng = np.random.default_rng(5)
+    grid, link, bp0, bp1, blink = _two_level_fixture(rng)
+    cin, cout = 7, 5
+    vp = link.parent_grid.voxel_keys.shape[1]
+    pf = jnp.asarray(rng.normal(size=(1, vp, cin)).astype(np.float32))
+    pf = jnp.where(jnp.asarray(link.parent_grid.voxel_mask)[..., None], pf, 0.0)
+    w = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32) * 0.3)
+
+    ref = up_conv(pf, link, w)  # [1, Vc, cout]
+    got = from_dense(up_conv_bricks(to_dense(pf, bp1), blink, w), bp0)
+    vm = np.asarray(grid.voxel_mask[0])
+    np.testing.assert_allclose(np.asarray(got[0])[vm], np.asarray(ref[0])[vm],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_brick_down_up_grad_flows():
+    """The brick transition ops are differentiable (training path)."""
+    rng = np.random.default_rng(6)
+    grid, link, bp0, bp1, blink = _two_level_fixture(rng)
+    c = 4
+    feats = jnp.asarray(rng.normal(size=(1, grid.voxel_keys.shape[1], c)).astype(np.float32))
+    wd = jnp.asarray(rng.normal(size=(8, c, c)).astype(np.float32) * 0.3)
+    wu = jnp.asarray(rng.normal(size=(8, c, c)).astype(np.float32) * 0.3)
+
+    def loss(wd, wu):
+        d = down_conv_bricks(to_dense(feats, bp0), bp0, blink, wd)
+        d = jnp.where(bp1.occ[..., None], d, 0.0)
+        u = up_conv_bricks(d, blink, wu)
+        u = jnp.where(bp0.occ[..., None], u, 0.0)
+        return jnp.sum(u ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(wd, wu)
+    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
+    assert float(jnp.abs(g[0]).sum()) > 0 and float(jnp.abs(g[1]).sum()) > 0
+
+
+def test_backbone_brick_native_matches_rulebook():
+    """Full SparseUNetBackbone: brick-native (dense end-to-end, brick-space
+    down/up transitions) == canonical rulebook mode on the same params."""
+    from geoformer_tpu.models.unet import SparseUNetBackbone
+
+    rng = np.random.default_rng(7)
+    spatial, P, depth = 32, 500, 3
+    coords = make_surface_coords(rng, P, spatial)
+    mask = np.ones(P, bool)
+    caps = voxel_capacities(512, depth, 0.5)
+    cj, mj = jnp.asarray(coords[None]), jnp.asarray(mask[None])
+    plan_rb = build_grid_plan(cj, mj, spatial, depth, caps)
+    plan_bk = build_grid_plan(cj, mj, spatial, depth, caps, brick_occupancy=8)
+    assert plan_bk.brick_links and len(plan_bk.brick_links) == depth - 1
+
+    v0 = caps[0]
+    feats = jnp.asarray(rng.normal(size=(1, v0, 6)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(plan_rb.grids[0].voxel_mask)[..., None], feats, 0.0)
+    model = SparseUNetBackbone(m=8, classes=4, depth=depth)
+    params = model.init(jax.random.PRNGKey(0), feats, plan_rb, False)
+    ref = model.apply(params, feats, plan_rb, False)
+    got = model.apply(params, feats, plan_bk, False)
+    vm = np.asarray(plan_rb.grids[0].voxel_mask[0])
+    np.testing.assert_allclose(np.asarray(got[0])[vm], np.asarray(ref[0])[vm],
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_grid_plan_brick_mode_skips_rulebooks():
