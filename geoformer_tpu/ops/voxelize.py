@@ -103,10 +103,18 @@ def _voxelize_scene(coords: jax.Array, mask: jax.Array, num_voxels: int, spatial
         vox_id_sorted.astype(jnp.int32), unique_indices=True, mode="promise_in_bounds"
     )
 
-    # segment boundaries per voxel slot (vox_id_sorted is non-decreasing)
-    starts = jnp.searchsorted(
-        vox_id_sorted, jnp.arange(v + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    # segment boundaries per voxel slot. Voxel ids are dense ranks with
+    # exactly one head each, so starts come from ONE unique-index scatter
+    # of the head positions — searchsorted here lowered to a binary-search
+    # while_loop costing ~32 ms at 262k slots on v5e (~110 ms/forward over
+    # all levels); the scatter is ~2 ms.
+    n_valid = jnp.sum((vox_id_sorted < v).astype(jnp.int32))
+    pos = jnp.arange(p, dtype=jnp.int32)
+    head_tgt = jnp.where(head & (vox_id_sorted < v), vox_id_sorted, v)
+    starts_v = jnp.full((v,), n_valid, jnp.int32).at[head_tgt].set(
+        pos, unique_indices=True, mode="drop"
+    )
+    starts = jnp.concatenate([starts_v, n_valid[None]])
     counts = starts[1:] - starts[:-1]
 
     # voxel keys: first sorted point of each segment (gather, no scatter)

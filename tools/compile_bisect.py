@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--stages", type=str, default="all")
     ap.add_argument("--brick_occupancy", type=int, default=None,
                     help="override tpu_brick_occupancy (0 = rulebook path)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute in the conv path (fp32 accum)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -53,6 +55,7 @@ def main():
         tpu_unet_depth=args.depth,
         tpu_ball_nsample=64,
         **({} if args.brick_occupancy is None else {"tpu_brick_occupancy": args.brick_occupancy}),
+        **({"tpu_bf16": True} if args.bf16 else {}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
