@@ -67,6 +67,11 @@ class ModelConfig:
     knn_neighbors: int = 64
     geodesic_radius: float = 0.05
     radius_cell_cap: int = 8
+    # radius-graph cell-slot capacity divisor (ops/radius_graph.py): fg
+    # points are dense scan surfaces (>= ~3 points per radius cell), so
+    # F // 2 cell slots never bind and the per-cell window lookup sort
+    # halves; 1 = exact for any input
+    radius_cell_div: int = 2
     geodesic_int16: bool = True
     geodesic_steps_train: int = 128
     geodesic_steps_eval: int = 256
@@ -145,6 +150,7 @@ class ModelConfig:
             train_subsample=cfg.tpu_train_subsample,
             knn_neighbors=cfg.tpu_knn_neighbors,
             radius_cell_cap=cfg.tpu_radius_cell_cap,
+            radius_cell_div=cfg.tpu_radius_cell_div,
             geodesic_int16=cfg.tpu_geodesic_int16,
             geodesic_radius=cfg.tpu_geodesic_radius,
             geodesic_steps_train=cfg.tpu_geodesic_steps_train,
@@ -381,9 +387,20 @@ class GeoFormerBase(nn.Module):
             # die at the geodesic's own gate. Built INSIDE the shard_map:
             # its top_k is un-partitionable inside the per-scene vmap and
             # would otherwise be all-gathered across the data axis.
+            # hier mode only ever reads the nearest max(fine_k, k_sub=16)
+            # edge slots (contraction takes k_sub, fine sweeps take fine_k;
+            # ops/geodesic.py:_hier_scene) and radius_knn packs ascending,
+            # so building a narrower table is bit-identical — and the top_k
+            # over the 27*cell_cap candidate window is ~4x cheaper at k=16
+            # than at the reference-parity k=64 (FAISS 64-NN analog, used
+            # in full only by the exact solver)
+            k_graph = mc.knn_neighbors
+            if mc.geodesic_hier and mc.geodesic_fine_k:
+                k_graph = min(k_graph, max(mc.geodesic_fine_k, 16))
             d2, nbr_i = radius_knn(
-                fg_locs, fg_valid, mc.geodesic_radius, mc.knn_neighbors,
+                fg_locs, fg_valid, mc.geodesic_radius, k_graph,
                 cell_cap=mc.radius_cell_cap,  # sorted: top_k beats the searchsorted compaction on TPU
+                cell_div=mc.radius_cell_div,
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
             if mc.geodesic_hier:

@@ -231,13 +231,24 @@ def _prep_edges(nbr_idx, nbr_dist, point_mask, radius):
     return nb, w
 
 
-def _block_sweeps(nb2, w2, dist, n_steps, block_size, early_exit=True):
+def _block_sweeps(nb2, w2, dist, n_steps, block_size, early_exit=True,
+                  n_live=None, return_iters=False):
     """Alternating forward/backward Gauss-Seidel block sweeps over a padded
     sorted edge table. nb2/w2 [PP, K2] (sink row = PP, slabs of 8 padded),
-    dist [PP+1, Q] f32. Runs until fixpoint or n_steps sweeps."""
+    dist [PP+1, Q] f32. Runs until fixpoint or n_steps sweeps.
+
+    n_live (traced scalar) bounds the sweeps to the first n_live rows:
+    valid nodes are packed first everywhere this is used, so rows past
+    n_live are pad (sink edges, INF weights) and sweeping them is a no-op
+    — the coarse cell capacity is sized for worst-case scenes (~3x typical
+    occupancy) and the skipped blocks are pure gather waste."""
     pp = nb2.shape[0]
     q = dist.shape[1]
     n_blocks = pp // block_size
+    if n_live is not None:
+        n_blocks = jnp.minimum(
+            (n_live + block_size - 1) // block_size, n_blocks
+        ).astype(jnp.int32)
     slab = 8
     n_slabs = nb2.shape[1] // slab
     slot_live = jnp.any(w2 < INF, axis=0)
@@ -283,9 +294,11 @@ def _block_sweeps(nb2, w2, dist, n_steps, block_size, early_exit=True):
         _, changed, it = state
         return changed & (it < n_steps)
 
-    dist, _, _ = jax.lax.while_loop(
+    dist, _, iters = jax.lax.while_loop(
         cond, one_pass, (dist, jnp.bool_(True), jnp.int32(0))
     )
+    if return_iters:
+        return dist, iters
     return dist
 
 
@@ -323,7 +336,7 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
     big = 1e9
     origin = jnp.min(jnp.where(point_mask[:, None], positions, big), axis=0)
     cells = jnp.clip(jnp.floor((positions - origin) / cell).astype(jnp.int32), 0, 1023)
-    p2c, _, _, cmask, _, _, order, starts, _, _ = _voxelize_scene(
+    p2c, ccoords, _, cmask, _, _, order, starts, _, _ = _voxelize_scene(
         cells, point_mask, c_cap, 1024
     )
 
@@ -377,7 +390,76 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
     cw = jnp.full((c_cap * kc + 1,), INF, jnp.float32).at[slot].set(
         jnp.where(ok, wc_s, INF), unique_indices=True, mode="promise_in_bounds"
     )[: c_cap * kc].reshape(c_cap, kc)
-    return p2c, rep, rep_pos, to_rep, cnb, cw, cmask
+    return p2c, rep, rep_pos, to_rep, cnb, cw, cmask, ccoords
+
+
+def _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, dist, n_steps,
+                       n_live, return_iters=False):
+    """Coarse fixpoint via fast sweeping over 4 alternating lexicographic
+    orderings (each run as a forward+backward pass-pair, covering all 8
+    directional sign combinations). A single zyx ordering needs ~O(number
+    of direction reversals along the longest shortest-path) pass-pairs to
+    converge (measured 156 sweeps on a room scan); cycling the 4 orderings
+    converges in a few cycles — the classic fast-sweeping result.
+
+    ccoords [C,3] int cell coords (x,y,z; garbage at pads), cnb/cw [C,kc]
+    slot-space edge tables (sink = c_cap), dist [CPP+1, Q] seeded in slot
+    space. n_steps caps TOTAL sweeps (a cycle is 8).
+    """
+    S = 1024
+    x, y, z = ccoords[..., 0], ccoords[..., 1], ccoords[..., 2]
+    sent = jnp.int32(S * S * S)
+
+    # slot space is already (z,y,x)-ascending (voxelize key order), so
+    # ordering 0 is the identity; build the 3 flipped orderings
+    tables = [None]
+    cross = []  # cross[i]: row map taking dist from ordering i to i+1 (mod 4)
+    perms = [jnp.arange(c_cap, dtype=jnp.int32)]
+    invs = [jnp.arange(c_cap, dtype=jnp.int32)]
+    for fz, fy in ((1, 0), (0, 1), (1, 1)):
+        zz = (S - 1 - z) if fz else z
+        yy = (S - 1 - y) if fy else y
+        key = jnp.where(cmask, (zz * S + yy) * S + x, sent)
+        perm = jnp.argsort(key).astype(jnp.int32)
+        perms.append(perm)
+        invs.append(_invert_perm(perm))
+    nb2_0, cw2_0, cpp = _pad_edges(cnb, cw, c_cap, cblock)
+    tables[0] = (nb2_0, cw2_0)
+    for o in range(1, 4):
+        inv_pad = jnp.concatenate([invs[o], jnp.full((1,), c_cap, jnp.int32)])
+        nb_o = inv_pad[jnp.minimum(cnb, c_cap)[perms[o]]]
+        nb_o = jnp.where(cnb[perms[o]] >= c_cap, c_cap, nb_o)
+        tables.append(_pad_edges(nb_o, cw[perms[o]], c_cap, cblock)[:2])
+    for o in range(4):
+        nxt = (o + 1) % 4
+        cm = invs[o][perms[nxt]]  # [C] rows of ordering nxt in ordering o
+        cross.append(jnp.concatenate(
+            [cm, jnp.full((cpp + 1 - c_cap,), cpp, jnp.int32)]
+        ))
+
+    def permute(d, cm):
+        d_pad = d  # row cpp is the INF sink in every ordering
+        return d_pad[cm]
+
+    def one_cycle(state):
+        d, _, it = state
+        prev = d
+        for o in range(4):
+            nb2, w2 = tables[o]
+            d = _block_sweeps(nb2, w2, d, 2, cblock, n_live=n_live)
+            d = permute(d, cross[o])
+        return d, jnp.any(d < prev), it + 8
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n_steps)
+
+    dist, _, iters = jax.lax.while_loop(
+        cond, one_cycle, (dist, jnp.bool_(True), jnp.int32(0))
+    )
+    if return_iters:
+        return dist, iters
+    return dist
 
 
 def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
@@ -402,15 +484,15 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
         c_cap = max(512, p // 8)
     nb, w = _prep_edges(nbr_idx, nbr_dist, point_mask, radius)
     cell = max(radius, 1e-4) * cell_factor
-    p2c, rep, rep_pos, to_rep, cnb, cw, cmask = _coarse_contract(
+    p2c, rep, rep_pos, to_rep, cnb, cw, cmask, ccoords = _coarse_contract(
         positions, point_mask, nb, w, cell, c_cap, kc, min(k_sub, k)
     )
 
-    # ---- coarse solve: same block-sweep machinery on the cell graph.
-    # Cell slots are already packed-key (zyx) sorted by construction, which
-    # is exactly the fast-sweeping order, so no extra permutation.
+    # ---- coarse solve: fast sweeping over 4 alternating orderings (slot
+    # space is already zyx-sorted = ordering 0). Sweeps only the occupied
+    # slot prefix (valid cells pack first in every ordering).
     cblock = min(block_size, max(c_cap // 8, 8))
-    cnb2, cw2, cpp = _pad_edges(cnb, cw, c_cap, cblock)
+    cpp = c_cap + ((-c_cap) % cblock)
     cdist = jnp.full((cpp + 1, q), INF, jnp.float32)
     seed_cols = jnp.arange(q, dtype=jnp.int32)
     safe = jnp.clip(seeds, 0, p - 1)
@@ -422,7 +504,10 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     # coarse sweeps are ~100x cheaper than fine ones and the early exit
     # fires at the fixpoint, so give the cap a generous floor rather than
     # letting a fine-tuned n_steps truncate the long-range solve
-    cdist = _block_sweeps(cnb2, cw2, cdist, max(n_steps, 256), cblock, early_exit=True)
+    cdist = _fast_sweep_orders(
+        ccoords, cmask, cnb, cw, c_cap, cblock, cdist, max(n_steps, 256),
+        n_live=jnp.sum(cmask.astype(jnp.int32)),
+    )
 
     # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count).
     # The fine sweeps only smooth the coarse prolongation locally, so they

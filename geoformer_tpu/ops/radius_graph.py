@@ -25,48 +25,73 @@ _BIG = 1e30  # python float, NOT a jnp scalar (device-array constants re-stage p
 _WINDOW = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 
-def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True):
+def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
+                      cell_div=1):
     p = points.shape[0]
+    # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
+    # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
+    # spacing, radius 5 cm -> ~3-8 points per cell) can pass cell_div=2 to
+    # halve the window-lookup sort; a scene with more occupied cells than
+    # slots (points isolated at > radius spacing — degenerate for a radius
+    # graph) drops the overflow cells' points from the graph (no edges ->
+    # geodesic unreached), the degraded-but-bounded contract used by every
+    # capacity here.
+    cc = max(p // max(cell_div, 1), 1)
     # cell coords, shifted non-negative; clip to the packing range
     origin = jnp.min(jnp.where(mask[:, None], points, _BIG), axis=0)
     cells = jnp.clip(
         jnp.floor((points - origin) / radius).astype(jnp.int32), 0, spatial - 1
     )
-    grid = voxelize(cells[None], mask[None], p, spatial)
-    p2c = grid.p2v[0]  # [P] point -> cell slot (p = pad)
-    cell_keys = grid.voxel_keys[0]  # [P] sorted packed keys
+    grid = voxelize(cells[None], mask[None], cc, spatial)
+    p2c = grid.p2v[0]  # [P] point -> cell slot (cc = pad)
+    cell_keys = grid.voxel_keys[0]  # [CC] sorted packed keys
     n_cells = grid.n_voxels[0]
 
-    # cell -> points rulebook [P(cells), cell_cap], pad = p; the grid's own
+    # cell -> points rulebook [CC, cell_cap], pad = p; the grid's own
     # sort order already groups points by cell (no extra argsort)
     order = grid.order[0]
-    starts = grid.starts[0]  # [P+1] segment boundaries per cell slot
+    starts = grid.starts[0]  # [CC+1] segment boundaries per cell slot
     sorted_cells = p2c[order]
-    rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, p)]
-    ok = (sorted_cells < p) & (rank < cell_cap)
-    slot = jnp.where(ok, sorted_cells * cell_cap + rank, p * cell_cap)
-    cell_pts = jnp.full((p * cell_cap + 1,), p, jnp.int32).at[slot].set(
+    rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, cc)]
+    ok = (sorted_cells < cc) & (rank < cell_cap)
+    slot = jnp.where(ok, sorted_cells * cell_cap + rank, cc * cell_cap)
+    cell_pts = jnp.full((cc * cell_cap + 1,), p, jnp.int32).at[slot].set(
         jnp.where(ok, order, p), unique_indices=True, mode="promise_in_bounds"
-    )[: p * cell_cap].reshape(p, cell_cap)
+    )[: cc * cell_cap].reshape(cc, cell_cap)
 
-    # candidate cells: own cell + 26 neighbors via searchsorted on sorted keys
-    own = cells  # [P,3] (x,y,z)
+    # 27-window per CELL, not per point: every point of a cell shares the
+    # same window, so the searchsorted runs on [CC, 27] keys (~cell_div*6x
+    # fewer than the old per-point [P, 27] at scan occupancy) and points
+    # pick their window up with one [P]-row gather.
+    ccoords = grid.voxel_coords[0]  # [CC, 3] (x,y,z); -1 at pad slots
+    cmask = grid.voxel_mask[0]
     offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)  # (x,y,z)
-    nc = own[:, None, :] + offs[None, :, :]  # [P,27,3]
-    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & mask[:, None]
+    nc = ccoords[:, None, :] + offs[None, :, :]  # [CC,27,3]
+    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & cmask[:, None]
     nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-    # method="sort" beats XLA's binary-search lowering ~5x at [P,27] scale
-    cidx = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
-    cidx = jnp.minimum(cidx, p - 1)
-    found = in_range & (cell_keys[cidx] == nkey) & (cidx < n_cells)
-    cidx = jnp.where(found, cidx, p)  # pad cell
+    # method="sort" beats XLA's binary-search lowering ~5x at this scale
+    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
+    cwin = jnp.minimum(cwin, cc - 1)
+    found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
+    cwin = jnp.where(found, cwin, cc)  # pad cell
 
-    # candidate points [P, 27*cap]
+    # per-point candidate cells [P, 27] (one row-gather), then candidate
+    # points [P, 27*cap]
+    cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
+    cidx = cwin_pad[jnp.minimum(p2c, cc)]  # [P, 27]
+    cidx = jnp.where((p2c < cc)[:, None] & mask[:, None], cidx, cc)
     cell_pts_pad = jnp.concatenate(
         [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
     )
     cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
 
+    # candidate positions: pointwise gather, NOT a two-hop cell-major
+    # gather. The two-hop form (cell positions once, then whole cells per
+    # window slot) measured ~40 ms faster standalone, but its [P*27, cap, 3]
+    # intermediate escapes the d2 fusion and tile-pads (8,128) on the
+    # trailing (cap, 3) dims — 42.7x expansion, 13.5 GB at prod scale
+    # (OOMs the chip). The pointwise gather stays INSIDE the subtract/
+    # square/reduce fusion, so only d2 [P, 27*cap] ever materializes.
     pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
     cpos = pts_pad[cand]  # [P, C, 3]
     d2 = jnp.sum((points[:, None, :] - cpos) ** 2, axis=-1)
@@ -100,15 +125,18 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     return d2k, idx.astype(jnp.int32)
 
 
-def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True):
+def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
+               cell_div: int = 1):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
-    (self excluded), exact up to `cell_cap` points per radius-cell.
+    (self excluded), exact up to `cell_cap` points per radius-cell and
+    P // cell_div occupied cells (see _radius_knn_scene).
 
     sort=True returns the K nearest ascending; sort=False compacts the
     first K in-radius candidates without the (expensive) top-k — identical
     edge set whenever the in-radius count <= K.
     """
     return jax.vmap(
-        lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort)
+        lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
+                                        cell_div=cell_div)
     )(points, mask)

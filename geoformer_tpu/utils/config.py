@@ -112,6 +112,7 @@ _DEFAULTS = dict(
     tpu_max_instances=64,       # gt instance capacity per scene
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
     tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
+    tpu_radius_cell_div=2,      # cell-slot capacity divisor (1 = exact any input)
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
                                 # (ops/brick.py; 0 = gather-rulebook path)

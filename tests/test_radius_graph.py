@@ -68,3 +68,24 @@ def test_radius_knn_unsorted_same_edge_set():
         s = set(np.asarray(i_s[0][q])[np.asarray(d_s[0][q]) < 1e30].tolist())
         u = set(np.asarray(i_u[0][q])[np.asarray(d_u[0][q]) < 1e30].tolist())
         assert s == u, q
+
+
+def test_radius_knn_cell_div_dense_surface():
+    """cell_div=2 (the model's setting for dense scan surfaces) matches the
+    exact cell_div=1 result when cell occupancy >= 2 — here a 2.8 cm-spaced
+    plane patch with 5 cm cells (~3 points/cell), the fg density regime."""
+    rng = np.random.default_rng(3)
+    n = 1024
+    side = int(np.sqrt(n))
+    g = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)
+    pts = np.zeros((n, 3), np.float32)
+    pts[:, :2] = g[:n] * 0.028
+    pts += rng.normal(0, 0.003, size=pts.shape).astype(np.float32)
+    mask = np.ones(n, bool)
+    r, k = 0.05, 8
+    d1, i1 = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                        cell_cap=8, cell_div=1)
+    d2, i2 = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                        cell_cap=8, cell_div=2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
