@@ -355,23 +355,20 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
     # adjacent at `cell` scale, where surfaces are locally flat, so the
     # rep->rep geodesic ~ euclid; summing (rep->fine->fine->rep) instead
     # would detour via both reps at every hop and inflate long paths ~50%.
+    # Single-operand key sort: the edge (ci, cj) IS the packed key, so the
+    # payloads never ride the sort — cj is recovered arithmetically from
+    # the sorted key, and the weights are computed AFTER the kc-cap dedup
+    # on the [C, kc] table (524k rep-row gathers instead of 2M payload
+    # gathers + a 2M argsort index). Measured: contract 195 -> ~110 ms at
+    # fg=131072 (tools/geo_bisect.py contract_parts).
     nbs = nb[:, :k_sub]
     ws = w[:, :k_sub]
     ci = jnp.broadcast_to(p2c[:, None], nbs.shape)
     cj = p2c_pad[nbs]
-    rep_pos_pad = jnp.concatenate([rep_pos, jnp.zeros((1, 3), rep_pos.dtype)])
-    wc = jnp.linalg.norm(
-        rep_pos_pad[jnp.minimum(ci, c_cap)] - rep_pos_pad[jnp.minimum(cj, c_cap)],
-        axis=-1,
-    )
     live = (ws < INF) & (ci != cj) & (ci < c_cap) & (cj < c_cap)
     sent = jnp.int32((c_cap + 1) * c_cap + c_cap)
-    skey = jnp.where(live, ci * (c_cap + 1) + cj, sent).reshape(-1)
+    skey_s = jnp.sort(jnp.where(live, ci * (c_cap + 1) + cj, sent).reshape(-1))
 
-    e_order = jnp.argsort(skey)
-    skey_s = skey[e_order]
-    cj_s = cj.reshape(-1)[e_order]
-    wc_s = wc.reshape(-1)[e_order]
     n_e = skey_s.shape[0]
     prev = jnp.concatenate([jnp.full((1,), -1, skey_s.dtype), skey_s[:-1]])
     head = (skey_s != prev) & (skey_s < sent)
@@ -381,15 +378,19 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
     ).astype(jnp.int32)
     hexc_pad = jnp.concatenate([hexc, jnp.zeros((1,), jnp.int32)])
     ci_s = jnp.minimum(skey_s // (c_cap + 1), c_cap - 1)
+    cj_s = skey_s - ci_s * (c_cap + 1)  # exact where skey_s < sent
     rank = hexc + head.astype(jnp.int32) - 1 - hexc_pad[jnp.minimum(ci_starts[ci_s], n_e)]
     ok = head & (rank < kc)
     slot = jnp.where(ok, ci_s * kc + rank, c_cap * kc)
     cnb = jnp.full((c_cap * kc + 1,), c_cap, jnp.int32).at[slot].set(
         jnp.where(ok, cj_s, c_cap), unique_indices=True, mode="promise_in_bounds"
     )[: c_cap * kc].reshape(c_cap, kc)
-    cw = jnp.full((c_cap * kc + 1,), INF, jnp.float32).at[slot].set(
-        jnp.where(ok, wc_s, INF), unique_indices=True, mode="promise_in_bounds"
-    )[: c_cap * kc].reshape(c_cap, kc)
+    # weights on the deduped table: euclid rep(ci) -> rep(cnb[ci, slot])
+    rep_pos_pad = jnp.concatenate([rep_pos, jnp.zeros((1, 3), rep_pos.dtype)])
+    cw = jnp.linalg.norm(
+        rep_pos[:, None, :] - rep_pos_pad[jnp.minimum(cnb, c_cap)], axis=-1
+    )
+    cw = jnp.where(cnb < c_cap, cw, INF)
     return p2c, rep, rep_pos, to_rep, cnb, cw, cmask, ccoords
 
 

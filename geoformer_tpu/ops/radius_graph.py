@@ -85,16 +85,25 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     )
     cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
 
-    # candidate positions: pointwise gather, NOT a two-hop cell-major
-    # gather. The two-hop form (cell positions once, then whole cells per
-    # window slot) measured ~40 ms faster standalone, but its [P*27, cap, 3]
-    # intermediate escapes the d2 fusion and tile-pads (8,128) on the
-    # trailing (cap, 3) dims — 42.7x expansion, 13.5 GB at prod scale
-    # (OOMs the chip). The pointwise gather stays INSIDE the subtract/
-    # square/reduce fusion, so only d2 [P, 27*cap] ever materializes.
+    # candidate positions: flat-packed two-hop gather. Hop 1 packs each
+    # cell's member positions as 2D rows [CC, cap*3] (524k point-rows
+    # total); hop 2 gathers whole cells per window slot as [P, 27] rows of
+    # cap*12 B. Everything stays 2D with xyz interleaved on the LANE axis,
+    # so the strided-lane d2 below never materializes a 3-minor tensor —
+    # the naive [P*27, cap, 3] form tile-pads (8,128) on the trailing dims
+    # (42.7x expansion, 13.5 GB at prod — OOMs the chip). Measured 49 ms vs
+    # 114 ms for the per-candidate pointwise gather at fg=131072 (the
+    # pointwise form pays 27*cap point-row gathers per point); bit-identical
+    # output (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
     pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
-    cpos = pts_pad[cand]  # [P, C, 3]
-    d2 = jnp.sum((points[:, None, :] - cpos) ** 2, axis=-1)
+    cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cell_cap * 3)
+    cell_xyz_pad = jnp.concatenate(
+        [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
+    )
+    cpos = cell_xyz_pad[cidx].reshape(p, 27 * cell_cap * 3)  # [P, C*3]
+    tq = jnp.tile(points, (1, 27 * cell_cap))  # [P, C*3] (xyzxyz...)
+    diff2 = (cpos - tq) ** 2
+    d2 = diff2[:, 0::3] + diff2[:, 1::3] + diff2[:, 2::3]
     bad = (cand >= p) | (cand == jnp.arange(p, dtype=jnp.int32)[:, None]) | (
         d2 > radius * radius
     ) | ~mask[:, None]

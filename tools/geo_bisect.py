@@ -250,6 +250,83 @@ def main():
         timed(contract, pts, mask, nbr, nbr_d, label="coarse contract")
     p2c, rep, rep_pos, to_rep, cnb, cw, cmask, ccoords = contract(pts, mask, nbr, nbr_d)
 
+    if "contract_parts" in want:
+        # piecewise replication of _coarse_contract to attribute its cost
+        from geoformer_tpu.ops.voxelize import _voxelize_scene
+
+        k_sub = 16
+        big = 1e9
+
+        @jax.jit
+        def c_vox(pts, mask):
+            origin = jnp.min(jnp.where(mask[0][:, None], pts[0], big), axis=0)
+            cells = jnp.clip(jnp.floor((pts[0] - origin) / cell).astype(jnp.int32),
+                             0, 1023)
+            return _voxelize_scene(cells, mask[0], c_cap, 1024)
+
+        vox = timed(c_vox, pts, mask, label="contract: voxelize cells")
+        p2c_, _, _, _, _, _, order_, starts_, _, _ = vox
+
+        @jax.jit
+        def c_lift(vox, pts, mask, nbr, nbr_d):
+            p2cx, _, _, cmaskx, _, _, orderx, startsx, _, _ = vox
+            nb, w = _prep_edges(nbr[0], nbr_d[0], mask[0], args.radius)
+            repx = orderx[jnp.minimum(startsx[:c_cap], f - 1)]
+            repx = jnp.where(cmaskx, repx, f)
+            pos_pad = jnp.concatenate([pts[0], jnp.zeros((1, 3), pts.dtype)])
+            rep_posx = pos_pad[repx]
+            p2c_pad = jnp.concatenate([p2cx, jnp.full((1,), c_cap, jnp.int32)])
+            nbs = nb[:, :k_sub]
+            ws = w[:, :k_sub]
+            ci = jnp.broadcast_to(p2cx[:, None], nbs.shape)
+            cj = p2c_pad[nbs]
+            rep_pos_pad = jnp.concatenate([rep_posx, jnp.zeros((1, 3), rep_posx.dtype)])
+            wc = jnp.linalg.norm(
+                rep_pos_pad[jnp.minimum(ci, c_cap)] - rep_pos_pad[jnp.minimum(cj, c_cap)],
+                axis=-1)
+            live = (ws < INF) & (ci != cj) & (ci < c_cap) & (cj < c_cap)
+            sent = jnp.int32((c_cap + 1) * c_cap + c_cap)
+            skey = jnp.where(live, ci * (c_cap + 1) + cj, sent).reshape(-1)
+            return skey, cj.reshape(-1), wc.reshape(-1)
+
+        skey, cjf, wcf = timed(c_lift, vox, pts, mask, nbr, nbr_d,
+                               label="contract: edge lift")
+
+        @jax.jit
+        def c_sort(skey, cjf, wcf):
+            e_order = jnp.argsort(skey)
+            return skey[e_order], cjf[e_order], wcf[e_order]
+
+        skey_s, cj_s, wc_s = timed(c_sort, skey, cjf, wcf,
+                                   label="contract: 2M argsort+gathers")
+
+        @jax.jit
+        def c_dedup(skey_s, cj_s, wc_s):
+            kc = 32
+            n_e = skey_s.shape[0]
+            prev = jnp.concatenate([jnp.full((1,), -1, skey_s.dtype), skey_s[:-1]])
+            sent = jnp.int32((c_cap + 1) * c_cap + c_cap)
+            head = (skey_s != prev) & (skey_s < sent)
+            hexc = jnp.cumsum(head.astype(jnp.int32)) - head.astype(jnp.int32)
+            ci_starts = jnp.searchsorted(
+                skey_s, jnp.arange(c_cap, dtype=jnp.int32) * (c_cap + 1)
+            ).astype(jnp.int32)
+            hexc_pad = jnp.concatenate([hexc, jnp.zeros((1,), jnp.int32)])
+            ci_s = jnp.minimum(skey_s // (c_cap + 1), c_cap - 1)
+            rank = (hexc + head.astype(jnp.int32) - 1
+                    - hexc_pad[jnp.minimum(ci_starts[ci_s], n_e)])
+            ok = head & (rank < kc)
+            slot = jnp.where(ok, ci_s * kc + rank, c_cap * kc)
+            cnbx = jnp.full((c_cap * kc + 1,), c_cap, jnp.int32).at[slot].set(
+                jnp.where(ok, cj_s, c_cap), unique_indices=True,
+                mode="promise_in_bounds")[: c_cap * kc].reshape(c_cap, kc)
+            cwx = jnp.full((c_cap * kc + 1,), INF, jnp.float32).at[slot].set(
+                jnp.where(ok, wc_s, INF), unique_indices=True,
+                mode="promise_in_bounds")[: c_cap * kc].reshape(c_cap, kc)
+            return cnbx, cwx
+
+        timed(c_dedup, skey_s, cj_s, wc_s, label="contract: dedup scatter")
+
     cblock = min(512, max(c_cap // 8, 8))
 
     @jax.jit
