@@ -42,13 +42,15 @@ class SetAggregator(nn.Module):
     radius: float = 0.2
     nsample: int = 64
     use_xyz: bool = True
+    ball_cell_cap: int = 0  # >0: voxel-hash ball query (ops/ball_query.py)
 
     def group(self, points, feats, mask, npoint):
         """FPS + ball grouping (no params). points [B,P,3], feats [B,P,C]."""
         inds, inds_valid = furthest_point_sample(points, mask, npoint)
         new_xyz = jnp.take_along_axis(points, inds[..., None], axis=1)  # [B,K,3]
         gx, gf, idx, hit = query_and_group(
-            new_xyz, points, feats, mask, self.radius, self.nsample, normalize_xyz=True
+            new_xyz, points, feats, mask, self.radius, self.nsample,
+            normalize_xyz=True, cell_cap=self.ball_cell_cap,
         )
         if self.use_xyz:
             gf = jnp.concatenate([gx, gf], axis=-1)

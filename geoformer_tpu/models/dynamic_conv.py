@@ -110,16 +110,19 @@ def mask_heads_forward(geo_dist, mask_features, w1, b1, w2, b2, coords, query_lo
             rel = rel.astype(compute_dtype)
         # split the first layer over its [rel | mask_features] input instead
         # of materializing the concatenated [Qc,P,c_in] buffer; the feature
-        # term is Qc batched [P,m]@[m,m] GEMMs, the coord term is tiny
+        # term is Qc batched GEMMs, the coord term is tiny. The hidden runs
+        # [Qc,m,P] — P on the LANE axis — because the qpm orientation puts
+        # m(=16) minor and tile-pads every (8,128) tile 128/m x
+        # (537 MB -> 4.3 GB physical per chunk at production P).
         h = (
-            jnp.einsum("qpc,qmc->qpm", rel, w1_c[..., :3],
+            jnp.einsum("qpc,qmc->qmp", rel, w1_c[..., :3],
                        preferred_element_type=jnp.float32)
-            + jnp.einsum("pf,qmf->qpm", mask_features, w1_c[..., 3:],
+            + jnp.einsum("pf,qmf->qmp", mask_features, w1_c[..., 3:],
                          preferred_element_type=jnp.float32)
-            + b1_c[:, None, :]
+            + b1_c[:, :, None]
         )
         h = jax.nn.relu(h)
-        return jnp.einsum("qpm,qm->qp", h, w2_c) + b2_c[:, None]
+        return jnp.einsum("qmp,qm->qp", h, w2_c) + b2_c[:, None]
 
     def pad_q(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))

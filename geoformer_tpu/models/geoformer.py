@@ -86,6 +86,13 @@ class ModelConfig:
     geodesic_fine_k: int = 16
     geodesic_cell_factor: float = 2.0
     ball_radius: float = 0.2
+    # >0: voxel-hash ball query bounded to the 3^3 cell window (exact up to
+    # this many points per radius-cell) instead of brute-force [K,P] tiles
+    ball_cell_cap: int = 0
+    # >0: two-stage radius_knn top-k (compact in-radius candidates to this
+    # many lanes before the nearest-k sort); exact while in-radius counts
+    # stay under it
+    knn_compact_width: int = 0
     ball_nsample: int = 64
     test_score_thresh: float = 0.5
     test_npoint_thresh: int = 100
@@ -101,6 +108,9 @@ class ModelConfig:
     # conv stack on v5e (vs 310 ms rulebook); 32 is the default for its
     # capacity margin (overflow is counted + warned either way)
     brick_occupancy: int = 32
+    # lane-packed banded brick convs (ops/brick.py dense_subm_conv_banded):
+    # fold the brick x axis into lanes so small-C levels stop tile-padding
+    brick_banded: bool = False
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
@@ -161,10 +171,13 @@ class ModelConfig:
             geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
+            ball_cell_cap=cfg.tpu_ball_cell_cap,
+            knn_compact_width=cfg.tpu_knn_compact_width,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
             subm_k=cfg.tpu_subm_k,
             brick_occupancy=cfg.tpu_brick_occupancy,
+            brick_banded=cfg.tpu_brick_banded,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
         )
@@ -246,7 +259,7 @@ class GeoFormerBase(nn.Module):
         self.backbone = SparseUNetBackbone(
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
-            remat=mc.remat, name="backbone",
+            remat=mc.remat, banded=mc.brick_banded, name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [
@@ -258,6 +271,7 @@ class GeoFormerBase(nn.Module):
             mlp_dims=(agg_dim, agg_dim, agg_dim),
             radius=mc.ball_radius,
             nsample=mc.ball_nsample,
+            ball_cell_cap=mc.ball_cell_cap,
             name="set_aggregator",
         )
         self.pos_embedding = PositionEmbeddingCoordsFourier(d_pos=mc.dec_dim, name="pos_embedding")
@@ -399,8 +413,9 @@ class GeoFormerBase(nn.Module):
                 k_graph = min(k_graph, max(mc.geodesic_fine_k, 16))
             d2, nbr_i = radius_knn(
                 fg_locs, fg_valid, mc.geodesic_radius, k_graph,
-                cell_cap=mc.radius_cell_cap,  # sorted: top_k beats the searchsorted compaction on TPU
+                cell_cap=mc.radius_cell_cap,
                 cell_div=mc.radius_cell_div,
+                compact_width=mc.knn_compact_width,
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
             if mc.geodesic_hier:

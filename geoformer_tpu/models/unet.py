@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
 from geoformer_tpu.ops.brick import (
     dense_subm_conv,
+    dense_subm_conv_banded,
     down_conv_bricks,
     from_dense,
     to_dense,
@@ -72,9 +73,10 @@ class _LevelCtx:
     def exit(self, x_rep):
         return from_dense(x_rep, self.brick) if self.brick is not None else x_rep
 
-    def conv(self, x_rep, w, compute_dtype=None):
+    def conv(self, x_rep, w, compute_dtype=None, banded=False):
         if self.brick is not None:
-            return dense_subm_conv(x_rep, self.brick, w, compute_dtype=compute_dtype)
+            fn = dense_subm_conv_banded if banded else dense_subm_conv
+            return fn(x_rep, self.brick, w, compute_dtype=compute_dtype)
         return apply_subm(x_rep, self.nbr, w, compute_dtype=compute_dtype)
 
 
@@ -84,6 +86,7 @@ class ResidualBlock(nn.Module):
     in_channels: int
     out_channels: int
     compute_dtype: object = None  # bf16 halves gather traffic, fp32 accum
+    banded: bool = False  # lane-packed band conv (brick mode only)
 
     @nn.compact
     def __call__(self, feats, ctx, train: bool):
@@ -102,11 +105,11 @@ class ResidualBlock(nn.Module):
         x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv1", self.in_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype)
+                     compute_dtype=self.compute_dtype, banded=self.banded)
         x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv2", self.out_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype)
+                     compute_dtype=self.compute_dtype, banded=self.banded)
         x = x + identity
         return jnp.where(vmask[..., None], x, 0.0)
 
@@ -157,6 +160,7 @@ class UBlock(nn.Module):
     compute_dtype: object = None
     remat: bool = False
     rep_io: bool = False  # in/out are level-rep (dense bricks), not sparse
+    banded: bool = False  # lane-packed band convs (ops/brick.py)
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
@@ -183,7 +187,7 @@ class UBlock(nn.Module):
         x = feats if self.rep_io else ctx.enter(feats)
         for i in range(self.block_reps):
             cin = x.shape[-1] if i == 0 else c0
-            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, ctx, train)
+            x = Block(cin, c0, self.compute_dtype, self.banded, name=f"block{i}")(x, ctx, train)
 
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
@@ -208,6 +212,7 @@ class UBlock(nn.Module):
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 rep_io=native,
+                banded=self.banded,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -230,7 +235,7 @@ class UBlock(nn.Module):
             x = jnp.concatenate([identity, u], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
-                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, ctx, train)
+                x = Block(cin, c0, self.compute_dtype, self.banded, name=f"block_tail{i}")(x, ctx, train)
 
         if len(self.n_planes) <= 2 and self.use_backbone_transformer:
             d_model = 128
@@ -255,6 +260,7 @@ class SparseUNetBackbone(nn.Module):
     block_reps: int = 2
     compute_dtype: object = None
     remat: bool = False
+    banded: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -270,11 +276,12 @@ class SparseUNetBackbone(nn.Module):
             # whole U recursion stay dense, gather back once at the end
             bp0 = plan.bricks[0]
             xd = to_dense(voxel_feats, bp0)
-            xd = dense_subm_conv(xd, bp0, w_in, compute_dtype=self.compute_dtype)
+            conv_in = dense_subm_conv_banded if self.banded else dense_subm_conv
+            xd = conv_in(xd, bp0, w_in, compute_dtype=self.compute_dtype)
             xd = jnp.where(bp0.occ[..., None], xd, 0.0)
             xd = UBlock(planes, self.block_reps, True, level=0,
                         compute_dtype=self.compute_dtype, remat=self.remat,
-                        rep_io=True, name="unet")(xd, plan, train)
+                        rep_io=True, banded=self.banded, name="unet")(xd, plan, train)
             x = from_dense(xd, bp0)
         else:
             if plan.bricks:
@@ -287,7 +294,7 @@ class SparseUNetBackbone(nn.Module):
             x = jnp.where(vmask0[..., None], x, 0.0)
             x = UBlock(planes, self.block_reps, True, level=0,
                        compute_dtype=self.compute_dtype, remat=self.remat,
-                       name="unet")(x, plan, train)
+                       banded=self.banded, name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)

@@ -40,19 +40,108 @@ def _ball_query_scene(centers, points, point_mask, radius, nsample, center_chunk
     return idx, hit
 
 
-def ball_query(centers, points, point_mask, radius, nsample):
+def _ball_query_hash_scene(centers, points, point_mask, radius, nsample,
+                           cell_cap, spatial=1024):
+    """Voxel-hash ball query: bucket points into `radius`-sized cells, so
+    each center's candidates are the 3^3 cell window (27*cell_cap) instead
+    of all P points — the brute-force [K,P] distance + top_k over P lanes
+    dominates the aggregator at production scale. Same first-`nsample`-in-
+    index-order semantics as the CUDA kernel (ball_query_gpu.cu:12-57),
+    exact up to `cell_cap` points per cell (overflow drops candidates —
+    the standard capacity contract, see ops/radius_graph.py)."""
+    from geoformer_tpu.ops.voxelize import pack_key, voxelize
+
+    p = points.shape[0]
+    q = centers.shape[0]
+    cc = p
+    big = jnp.float32(1e30)
+    origin = jnp.min(jnp.where(point_mask[:, None], points, big), axis=0)
+    cells = jnp.clip(
+        jnp.floor((points - origin) / radius).astype(jnp.int32), 0, spatial - 1
+    )
+    grid = voxelize(cells[None], point_mask[None], cc, spatial)
+    cell_keys = grid.voxel_keys[0]
+    n_cells = grid.n_voxels[0]
+    order = grid.order[0]
+    starts = grid.starts[0]
+    sorted_cells = grid.p2v[0][order]
+    rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, cc)]
+    ok = (sorted_cells < cc) & (rank < cell_cap)
+    slot = jnp.where(ok, sorted_cells * cell_cap + rank, cc * cell_cap)
+    cell_pts = jnp.full((cc * cell_cap + 1,), p, jnp.int32).at[slot].set(
+        jnp.where(ok, order, p), unique_indices=True, mode="promise_in_bounds"
+    )[: cc * cell_cap].reshape(cc, cell_cap)
+
+    # 27-window per center (K is small — per-center lookup beats the
+    # radius graph's per-cell indirection here)
+    ccell = jnp.clip(
+        jnp.floor((centers - origin) / radius).astype(jnp.int32), 0, spatial - 1
+    )
+    offs = jnp.asarray(
+        [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        jnp.int32,
+    )
+    nc = ccell[:, None, :] + offs[None, :, :]  # [K,27,3]
+    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1)
+    nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
+    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
+    cwin = jnp.minimum(cwin, cc - 1)
+    found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
+    cwin = jnp.where(found, cwin, cc)
+    cell_pts_pad = jnp.concatenate(
+        [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
+    )
+    cand = cell_pts_pad[cwin].reshape(q, 27 * cell_cap)
+
+    # flat-packed candidate positions (see radius_graph.py: keep xyz
+    # interleaved on lanes, never materialize a 3-minor tensor)
+    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
+    cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cell_cap * 3)
+    cell_xyz_pad = jnp.concatenate(
+        [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
+    )
+    cpos = cell_xyz_pad[cwin].reshape(q, 27 * cell_cap * 3)
+    tq = jnp.tile(centers, (1, 27 * cell_cap))
+    diff2 = (cpos - tq) ** 2
+    d2 = diff2[:, 0::3] + diff2[:, 1::3] + diff2[:, 2::3]
+    inside = (d2 <= radius * radius) & (cand < p)
+
+    # first `nsample` in index order = the nsample smallest point indices
+    # among in-radius candidates (each point occurs in exactly one cell)
+    key = jnp.where(inside, cand, 2 * p)
+    _, pos = jax.lax.top_k(-key, nsample)
+    idx = jnp.take_along_axis(cand, pos, axis=1)
+    hit = jnp.take_along_axis(inside, pos, axis=1)
+    # ascending keys = hits first in index order (CUDA scan order); pad
+    # unfilled slots with the first hit (0 if the window is empty — hit
+    # is all-false there and consumers mask on it)
+    first = jnp.where(hit[:, :1], idx[:, :1], 0)
+    idx = jnp.where(hit, idx, first)
+    return idx.astype(jnp.int32), hit
+
+
+def ball_query(centers, points, point_mask, radius, nsample, cell_cap=0):
     """centers [B,K,3], points [B,P,3], point_mask [B,P]
-    -> (idx [B,K,nsample] int32, hit [B,K,nsample] bool)."""
+    -> (idx [B,K,nsample] int32, hit [B,K,nsample] bool).
+
+    cell_cap > 0 switches to the voxel-hash path (exact up to cell_cap
+    points per radius-cell); 0 = brute-force distance tiles."""
+    if cell_cap:
+        return jax.vmap(
+            lambda c, p, m: _ball_query_hash_scene(c, p, m, radius, nsample, cell_cap)
+        )(centers, points, point_mask)
     return jax.vmap(lambda c, p, m: _ball_query_scene(c, p, m, radius, nsample))(
         centers, points, point_mask
     )
 
 
-def query_and_group(centers, points, feats, point_mask, radius, nsample, normalize_xyz=True):
+def query_and_group(centers, points, feats, point_mask, radius, nsample,
+                    normalize_xyz=True, cell_cap=0):
     """QueryAndGroup (pointnet2_utils.py:271-356): returns grouped
     [B,K,nsample,3] relative xyz (optionally /radius) and [B,K,nsample,C]
     features, plus the hit mask."""
-    idx, hit = ball_query(centers, points, point_mask, radius, nsample)
+    idx, hit = ball_query(centers, points, point_mask, radius, nsample,
+                          cell_cap=cell_cap)
 
     def scene(pts, f, i, c):
         gx = pts[i] - c[:, None, :]  # [K,ns,3]

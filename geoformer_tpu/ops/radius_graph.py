@@ -26,7 +26,7 @@ _WINDOW = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1,
 
 
 def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
-                      cell_div=1):
+                      cell_div=1, compact_width=0):
     p = points.shape[0]
     # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
     # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
@@ -110,6 +110,21 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     d2 = jnp.where(bad, _BIG, d2)
 
     if sort:
+        if compact_width and compact_width < d2.shape[1]:
+            # two-stage nearest-k: compact the in-radius candidates (at
+            # scan density ~10-30 of the 27*cap slots) to `compact_width`
+            # lanes first, then top_k on the narrow window — the bitonic
+            # top_k cost scales with lane width. Exact while the in-radius
+            # count <= compact_width; beyond that the k nearest of the
+            # first compact_width (candidate order) are kept.
+            ok = d2 < _BIG
+            rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+            targets = jnp.arange(1, compact_width + 1, dtype=jnp.int32)
+            pos = jax.vmap(lambda r: jnp.searchsorted(r, targets, side="left"))(rank)
+            inb = targets[None, :] <= rank[:, -1:]
+            pos = jnp.minimum(pos, d2.shape[1] - 1)
+            d2 = jnp.where(inb, jnp.take_along_axis(d2, pos, axis=1), _BIG)
+            cand = jnp.take_along_axis(cand, pos, axis=1)
         neg_d, pos = jax.lax.top_k(-d2, k)  # k nearest within radius
         idx = jnp.take_along_axis(cand, pos, axis=1)
         d2k = -neg_d
@@ -135,7 +150,7 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
 
 
 def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
-               cell_div: int = 1):
+               cell_div: int = 1, compact_width: int = 0):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
     (self excluded), exact up to `cell_cap` points per radius-cell and
@@ -147,5 +162,6 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
     """
     return jax.vmap(
         lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
-                                        cell_div=cell_div)
+                                        cell_div=cell_div,
+                                        compact_width=compact_width)
     )(points, mask)

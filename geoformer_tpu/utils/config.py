@@ -115,6 +115,9 @@ _DEFAULTS = dict(
     tpu_radius_cell_div=2,      # cell-slot capacity divisor (1 = exact any input)
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
+    tpu_brick_banded=False,     # lane-packed banded brick convs (ops/brick.py)
+    tpu_ball_cell_cap=0,        # >0: voxel-hash ball query, cap pts/cell
+    tpu_knn_compact_width=0,    # >0: two-stage radius_knn nearest-k
                                 # (ops/brick.py; 0 = gather-rulebook path)
     tpu_subm_k=27,              # live-packed subm conv slots (27 = exact/off;
     # the one-hot-routed compact path lowered to per-voxel tiny GEMMs and

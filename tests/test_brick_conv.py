@@ -92,6 +92,61 @@ def test_brick_conv_batched_and_identity_weight():
     )
 
 
+@pytest.mark.parametrize("spatial,cin,cout", [(32, 5, 7), (64, 16, 16), (32, 16, 32)])
+def test_banded_conv_matches_dense(spatial, cin, cout):
+    """dense_subm_conv_banded (lane-packed 2D band conv) == dense_subm_conv
+    at every occupied voxel — the x halo arrives as lane blocks, so brick
+    corners/edges are the risk surface; surface coords exercise them."""
+    from geoformer_tpu.ops.brick import dense_subm_conv, dense_subm_conv_banded
+
+    rng = np.random.default_rng(8)
+    P, V = 600, 512
+    coords = make_surface_coords(rng, P, spatial)
+    mask = np.ones(P, bool)
+    mask[550:] = False
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, spatial)
+    plan = build_brick_plan(grid, spatial, num_bricks=256)
+    assert int(plan.n_overflow[0]) == 0
+
+    feats = jnp.asarray(rng.normal(size=(1, V, cin)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(grid.voxel_mask)[..., None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+
+    dense = to_dense(feats, plan)
+    ref = from_dense(dense_subm_conv(dense, plan, w), plan)
+    got = from_dense(dense_subm_conv_banded(dense, plan, w), plan)
+    vm = np.asarray(grid.voxel_mask[0])
+    np.testing.assert_allclose(
+        np.asarray(got[0])[vm], np.asarray(ref[0])[vm], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_banded_conv_grad_and_bf16():
+    """Banded conv: grads flow to w; bf16 compute path runs and tracks fp32."""
+    from geoformer_tpu.ops.brick import dense_subm_conv_banded
+
+    rng = np.random.default_rng(9)
+    spatial, P, V, c = 32, 400, 256, 8
+    coords = make_surface_coords(rng, P, spatial)
+    grid = voxelize(jnp.asarray(coords[None]),
+                    jnp.asarray(np.ones((1, P), bool)), V, spatial)
+    plan = build_brick_plan(grid, spatial, num_bricks=128)
+    feats = jnp.asarray(rng.normal(size=(1, V, c)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(grid.voxel_mask)[..., None], feats, 0.0)
+    w = jnp.asarray(rng.normal(size=(27, c, c)).astype(np.float32) * 0.1)
+    dense = to_dense(feats, plan)
+
+    def loss(w, dtype=None):
+        out = dense_subm_conv_banded(dense, plan, w, compute_dtype=dtype)
+        return jnp.sum(jnp.where(plan.occ[..., None], out, 0.0) ** 2)
+
+    g = jax.grad(loss)(w)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+    f32 = float(loss(w))
+    bf = float(loss(w, jnp.bfloat16))
+    assert abs(f32 - bf) / max(abs(f32), 1e-6) < 0.05
+
+
 def test_brick_overflow_counted():
     """Uniform-random coords overflow a tiny brick budget — counted."""
     rng = np.random.default_rng(2)
@@ -196,6 +251,32 @@ def test_backbone_brick_native_matches_rulebook():
     params = model.init(jax.random.PRNGKey(0), feats, plan_rb, False)
     ref = model.apply(params, feats, plan_rb, False)
     got = model.apply(params, feats, plan_bk, False)
+    vm = np.asarray(plan_rb.grids[0].voxel_mask[0])
+    np.testing.assert_allclose(np.asarray(got[0])[vm], np.asarray(ref[0])[vm],
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_backbone_banded_matches_rulebook():
+    """SparseUNetBackbone(banded=True) == rulebook mode on the same params."""
+    from geoformer_tpu.models.unet import SparseUNetBackbone
+
+    rng = np.random.default_rng(10)
+    spatial, P, depth = 32, 500, 3
+    coords = make_surface_coords(rng, P, spatial)
+    mask = np.ones(P, bool)
+    caps = voxel_capacities(512, depth, 0.5)
+    cj, mj = jnp.asarray(coords[None]), jnp.asarray(mask[None])
+    plan_rb = build_grid_plan(cj, mj, spatial, depth, caps)
+    plan_bk = build_grid_plan(cj, mj, spatial, depth, caps, brick_occupancy=8)
+
+    v0 = caps[0]
+    feats = jnp.asarray(rng.normal(size=(1, v0, 6)).astype(np.float32))
+    feats = jnp.where(jnp.asarray(plan_rb.grids[0].voxel_mask)[..., None], feats, 0.0)
+    ref_model = SparseUNetBackbone(m=8, classes=4, depth=depth)
+    params = ref_model.init(jax.random.PRNGKey(0), feats, plan_rb, False)
+    ref = ref_model.apply(params, feats, plan_rb, False)
+    got = SparseUNetBackbone(m=8, classes=4, depth=depth, banded=True).apply(
+        params, feats, plan_bk, False)
     vm = np.asarray(plan_rb.grids[0].voxel_mask[0])
     np.testing.assert_allclose(np.asarray(got[0])[vm], np.asarray(ref[0])[vm],
                                rtol=2e-3, atol=2e-4)

@@ -68,6 +68,35 @@ def test_ball_query_first_in_index_order():
             assert np.all(idx[c][~hit[c]] == got[0])
 
 
+def test_ball_query_hash_matches_brute():
+    """Voxel-hash ball query == brute-force path (idx, hit, padding) when
+    cell capacity is generous; dense surface-ish cloud to exercise windows."""
+    rng = np.random.default_rng(7)
+    P, K, NS, R = 2048, 64, 16, 0.11
+    pts = rng.uniform(0, 1, size=(P, 3)).astype(np.float32)
+    pts[:, 2] *= 0.05  # squash -> locally dense sheet
+    mask = np.ones(P, bool)
+    mask[2000:] = False
+    centers = pts[rng.choice(2000, K, replace=False)]
+    args = (jnp.asarray(centers[None]), jnp.asarray(pts[None]),
+            jnp.asarray(mask[None]), R, NS)
+    idx_b, hit_b = ball_query(*args)
+    idx_h, hit_h = ball_query(*args, cell_cap=256)
+    np.testing.assert_array_equal(np.asarray(hit_h), np.asarray(hit_b))
+    np.testing.assert_array_equal(np.asarray(idx_h), np.asarray(idx_b))
+
+
+def test_ball_query_hash_empty_window():
+    """A center with no in-radius points: all-false hit, in-bounds indices."""
+    pts = np.array([[0.0, 0, 0], [0.01, 0, 0], [5, 5, 5]], np.float32)
+    centers = np.array([[9.0, 9, 9]], np.float32)
+    mask = np.ones(3, bool)
+    idx, hit = ball_query(jnp.asarray(centers[None]), jnp.asarray(pts[None]),
+                          jnp.asarray(mask[None]), 0.1, 4, cell_cap=8)
+    assert not np.asarray(hit).any()
+    assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 3).all()
+
+
 def test_knn_matches_numpy():
     rng = np.random.default_rng(2)
     P, K = 300, 8

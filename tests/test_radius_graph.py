@@ -43,6 +43,24 @@ def test_radius_knn_matches_brute_force():
     assert (got_i[280:] == p).all()
 
 
+def test_radius_knn_compact_width_exact():
+    """compact_width two-stage top-k == plain sorted path (ascending
+    nearest-k, same ids/distances) when the width covers the in-radius
+    counts."""
+    rng = np.random.default_rng(3)
+    p, k, r = 500, 8, 0.1
+    pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
+    pts[:, 2] *= 0.1  # dense sheet -> busy windows
+    mask = np.ones(p, bool)
+    mask[480:] = False
+    ref_d, ref_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              r, k, cell_cap=32)
+    got_d, got_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              r, k, cell_cap=32, compact_width=64)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
 def test_radius_knn_dense_cluster_cap():
     """More in-radius neighbors than k: keeps the k nearest."""
     rng = np.random.default_rng(1)

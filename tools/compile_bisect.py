@@ -33,6 +33,8 @@ def main():
                     help="override tpu_brick_occupancy (0 = rulebook path)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute in the conv path (fp32 accum)")
+    ap.add_argument("--banded", action="store_true",
+                    help="lane-packed banded brick convs (tpu_brick_banded)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -56,6 +58,7 @@ def main():
         tpu_ball_nsample=64,
         **({} if args.brick_occupancy is None else {"tpu_brick_occupancy": args.brick_occupancy}),
         **({"tpu_bf16": True} if args.bf16 else {}),
+        **({"tpu_brick_banded": True} if args.banded else {}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)

@@ -113,6 +113,11 @@ def main():
 
     if "knn_sorted" in want:
         timed(knn, pts, mask, label="radius_knn sort=True")
+    if "knn_compact" in want:
+        knn_c = jax.jit(functools.partial(
+            radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
+            compact_width=64))
+        timed(knn_c, pts, mask, label="radius_knn compact=64")
     if "knn_unsorted" in want:
         knn_u = jax.jit(functools.partial(
             radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
