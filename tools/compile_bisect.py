@@ -35,6 +35,10 @@ def main():
                     help="bf16 compute in the conv path (fp32 accum)")
     ap.add_argument("--banded", action="store_true",
                     help="lane-packed banded brick convs (tpu_brick_banded)")
+    ap.add_argument("--ball_cell_cap", type=int, default=0,
+                    help=">0: voxel-hash ball query (tpu_ball_cell_cap)")
+    ap.add_argument("--knn_compact", type=int, default=0,
+                    help=">0: two-stage radius_knn (tpu_knn_compact_width)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -59,6 +63,8 @@ def main():
         **({} if args.brick_occupancy is None else {"tpu_brick_occupancy": args.brick_occupancy}),
         **({"tpu_bf16": True} if args.bf16 else {}),
         **({"tpu_brick_banded": True} if args.banded else {}),
+        **({"tpu_ball_cell_cap": args.ball_cell_cap} if args.ball_cell_cap else {}),
+        **({"tpu_knn_compact_width": args.knn_compact} if args.knn_compact else {}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
