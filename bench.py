@@ -124,6 +124,7 @@ def measure(scale: str):
         degraded = (
             jnp.sum(vs["n_overflow_points"]) + jnp.sum(vs["n_oor_points"])
             + jnp.sum(vs["n_brick_overflow"])
+            + jnp.sum(vs["n_radius_cell_overflow"])
         )
         return (
             jnp.sum(out["proposals"]["scores"])

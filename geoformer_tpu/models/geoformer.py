@@ -205,7 +205,9 @@ def _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs):
         solve,
         mesh=mesh,
         in_specs=(P(d, m), P(d, m), P(d), P(d)),
-        out_specs=P(d, None, m),
+        # (geo table, per-scene graph-overflow count — replicated within a
+        # model group: the graph build runs per model-shard on full scenes)
+        out_specs=(P(d, None, m), P(d)),
         # the solver body is collective-free (columns independent); the vma
         # tracker otherwise demands pcasts on every while_loop carry
         check_vma=False,
@@ -222,8 +224,9 @@ def pack_by_mask(mask: jax.Array, capacity: int):
 def random_pack_by_mask(mask: jax.Array, capacity: int, rng: jax.Array):
     """Random subsample of valid entries (np.random.choice replace=False
     semantics, geoformer.py:575-580 / geoformer_modules.py:165-186).
+    Training path; eval uses strided_pack_by_mask (deterministic).
 
-    Both call sites pass a PACKED prefix mask (fg_valid from
+    The call site passes a PACKED prefix mask (fg_valid from
     foreground_pack), so when capacity covers the whole array the
     subsample set is the identity and the sort-based shuffle reduces to a
     random rotation of the valid prefix — downstream FPS still starts at
@@ -242,6 +245,25 @@ def random_pack_by_mask(mask: jax.Array, capacity: int, rng: jax.Array):
     order = jnp.argsort(scores)
     idx = order[:capacity].astype(jnp.int32)
     return idx, mask[idx]
+
+
+def strided_pack_by_mask(mask: jax.Array, capacity: int):
+    """Deterministic uniform subsample of a PACKED prefix mask: when the
+    n valid entries exceed `capacity`, take every (n/capacity)-th one
+    (systematic sampling — uniform coverage of the prefix order); when
+    they fit, the identity prefix (matching pack_by_mask exactly, which
+    the full-model golden-parity test relies on). [P] -> (idx [cap],
+    valid [cap]). No sort: positions are pure index arithmetic.
+    """
+    n = jnp.sum(mask.astype(jnp.int32))
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    # f32 step: n <= ~2^18 and capacity >= 1 keep i*step < 2^24 (exact
+    # int range), so floor() indices are monotone non-repeating when n>cap
+    step = n.astype(jnp.float32) / jnp.float32(capacity)
+    strided = jnp.floor(i.astype(jnp.float32) * step).astype(jnp.int32)
+    idx = jnp.where(n > capacity, jnp.clip(strided, 0, jnp.maximum(n - 1, 0)), i)
+    idx = jnp.minimum(idx, mask.shape[0] - 1)
+    return idx, i < jnp.minimum(n, capacity)
 
 
 def gather_scene(arr, idx):
@@ -358,10 +380,14 @@ class GeoFormerBase(nn.Module):
             # with an *unseeded* np.random.choice even at eval
             # (geoformer.py:575-580), so its eval FPS start — and therefore
             # its query set and AP — varies run to run. Eval here is
-            # deterministic: identity packing (the fg prefix), FPS from
-            # fg[0], same contract the reference has on any single run.
+            # deterministic: a STRIDED take over the packed fg prefix —
+            # identity whenever fg fits n_downsampling (FPS from fg[0],
+            # same contract the reference has on any single run), and a
+            # uniform systematic sample when it doesn't (a plain prefix
+            # take would keep one spatially coherent region of the raw
+            # scan vertex order and starve the rest of query coverage).
             sub_idx, sub_valid = jax.vmap(
-                lambda m: pack_by_mask(m, mc.n_downsampling)
+                lambda m: strided_pack_by_mask(m, mc.n_downsampling)
             )(fg_valid)
         sub_locs = jax.vmap(gather_scene)(fg_locs, sub_idx)
         sub_feats = jax.vmap(gather_scene)(fg_feats, sub_idx)
@@ -411,11 +437,12 @@ class GeoFormerBase(nn.Module):
             k_graph = mc.knn_neighbors
             if mc.geodesic_hier and mc.geodesic_fine_k:
                 k_graph = min(k_graph, max(mc.geodesic_fine_k, 16))
-            d2, nbr_i = radius_knn(
+            d2, nbr_i, graph_ovf = radius_knn(
                 fg_locs, fg_valid, mc.geodesic_radius, k_graph,
                 cell_cap=mc.radius_cell_cap,
                 cell_div=mc.radius_cell_div,
                 compact_width=mc.knn_compact_width,
+                with_stats=True,  # cell-capacity drops surface, never silent
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
             if mc.geodesic_hier:
@@ -427,7 +454,7 @@ class GeoFormerBase(nn.Module):
                     steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
                     cell_factor=mc.geodesic_cell_factor,
                     fine_k=mc.geodesic_fine_k or None,
-                )  # [B, F, Q]
+                ), graph_ovf  # [B, F, Q], [B]
             # symmetrize=False: the radius-kNN graph is symmetric up to the
             # K cap, so the reverse-edge table would double relaxation
             # traffic for near-zero effect
@@ -435,7 +462,7 @@ class GeoFormerBase(nn.Module):
                 nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
                 symmetrize=False, positions=fg_locs,  # spatial sweep ordering
                 relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
-            )  # [B, F, Q]
+            ), graph_ovf  # [B, F, Q], [B]
 
         # the [B,F,Q] table is the forward's biggest tensor, the solve its
         # most serial stage, and every distance column is independent: run
@@ -445,8 +472,8 @@ class GeoFormerBase(nn.Module):
         # per-scene lax.map running replicated and the table being
         # all-gathered afterwards. Falls back to the unsharded solve on
         # single-axis / indivisible meshes.
-        geo = _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs)
-        return maybe_shard(geo, "data", None, "model")
+        geo, graph_ovf = _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs)
+        return maybe_shard(geo, "data", None, "model"), graph_ovf
 
     # ---------------- decoder ----------------
 
@@ -596,7 +623,12 @@ class GeoFormer(GeoFormerBase):
         context_locs, context_feats, context_inds, context_valid = self.forward_aggregator(
             fg_locs, fg_feats, fg_valid, train
         )
-        geo_dist = self.forward_geodesic(fg_locs, fg_valid, context_inds, context_valid, train)
+        geo_dist, graph_ovf = self.forward_geodesic(
+            fg_locs, fg_valid, context_inds, context_valid, train
+        )
+        outputs["voxel_stats"] = dict(
+            outputs["voxel_stats"], n_radius_cell_overflow=graph_ovf
+        )
 
         dec_outputs, query_locs, query_valid = self.run_decoder(
             self.encoder_to_decoder_projection,

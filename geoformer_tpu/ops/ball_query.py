@@ -48,55 +48,33 @@ def _ball_query_hash_scene(centers, points, point_mask, radius, nsample,
     dominates the aggregator at production scale. Same first-`nsample`-in-
     index-order semantics as the CUDA kernel (ball_query_gpu.cu:12-57),
     exact up to `cell_cap` points per cell (overflow drops candidates —
-    the standard capacity contract, see ops/radius_graph.py)."""
-    from geoformer_tpu.ops.voxelize import pack_key, voxelize
+    the standard capacity contract). The cell table and 3^3 window lookup
+    are shared with the radius-kNN graph builder (ops/radius_graph.py);
+    only the query side differs (per CENTER here — K is small, so the
+    per-cell indirection the graph builder uses would not pay)."""
+    from geoformer_tpu.ops.radius_graph import build_cell_table, window_lookup
 
     p = points.shape[0]
     q = centers.shape[0]
-    cc = p
-    big = jnp.float32(1e30)
-    origin = jnp.min(jnp.where(point_mask[:, None], points, big), axis=0)
-    cells = jnp.clip(
-        jnp.floor((points - origin) / radius).astype(jnp.int32), 0, spatial - 1
+    cc = p  # exact: occupied cells <= points
+    grid, origin, cell_pts, cell_xyz, _ = build_cell_table(
+        points, point_mask, radius, cc, cell_cap, spatial
     )
-    grid = voxelize(cells[None], point_mask[None], cc, spatial)
     cell_keys = grid.voxel_keys[0]
     n_cells = grid.n_voxels[0]
-    order = grid.order[0]
-    starts = grid.starts[0]
-    sorted_cells = grid.p2v[0][order]
-    rank = jnp.arange(p, dtype=jnp.int32) - starts[jnp.minimum(sorted_cells, cc)]
-    ok = (sorted_cells < cc) & (rank < cell_cap)
-    slot = jnp.where(ok, sorted_cells * cell_cap + rank, cc * cell_cap)
-    cell_pts = jnp.full((cc * cell_cap + 1,), p, jnp.int32).at[slot].set(
-        jnp.where(ok, order, p), unique_indices=True, mode="promise_in_bounds"
-    )[: cc * cell_cap].reshape(cc, cell_cap)
 
-    # 27-window per center (K is small — per-center lookup beats the
-    # radius graph's per-cell indirection here)
     ccell = jnp.clip(
         jnp.floor((centers - origin) / radius).astype(jnp.int32), 0, spatial - 1
     )
-    offs = jnp.asarray(
-        [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-        jnp.int32,
-    )
-    nc = ccell[:, None, :] + offs[None, :, :]  # [K,27,3]
-    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1)
-    nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
-    cwin = jnp.minimum(cwin, cc - 1)
-    found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
-    cwin = jnp.where(found, cwin, cc)
+    cwin = window_lookup(cell_keys, n_cells, cc, ccell,
+                         jnp.ones((q,), bool), spatial)  # [K,27]
     cell_pts_pad = jnp.concatenate(
         [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
     )
     cand = cell_pts_pad[cwin].reshape(q, 27 * cell_cap)
 
-    # flat-packed candidate positions (see radius_graph.py: keep xyz
-    # interleaved on lanes, never materialize a 3-minor tensor)
-    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
-    cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cell_cap * 3)
+    # flat-packed candidate positions (see build_cell_table: xyz interleaved
+    # on lanes, never materializing a 3-minor tensor)
     cell_xyz_pad = jnp.concatenate(
         [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
     )

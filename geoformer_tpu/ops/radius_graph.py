@@ -25,27 +25,25 @@ _BIG = 1e30  # python float, NOT a jnp scalar (device-array constants re-stage p
 _WINDOW = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 
 
-def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
-                      cell_div=1, compact_width=0):
+def build_cell_table(points, mask, radius, cc, cell_cap, spatial=1024):
+    """Bucket a scene's points into `radius`-sized cells (the shared first
+    stage of the voxel-hash kNN and the voxel-hash ball query).
+
+    Returns (grid, origin, cell_pts [CC, cell_cap] point indices per cell
+    (pad = P), cell_xyz [CC, cell_cap*3] member positions flat-packed with
+    xyz interleaved on the LANE axis — consumers gather whole cells as 2D
+    rows and run strided-lane d2, never materializing a 3-minor tensor (the
+    naive [N, cap, 3] form tile-pads (8,128) on the trailing dims: 42.7x
+    expansion, 13.5 GB at prod — OOMs the chip), and n_dropped: valid
+    points not representable as candidates (cell slots beyond CC + per-cell
+    overflow past cell_cap) — surfaced by callers, never silent."""
     p = points.shape[0]
-    # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
-    # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
-    # spacing, radius 5 cm -> ~3-8 points per cell) can pass cell_div=2 to
-    # halve the window-lookup sort; a scene with more occupied cells than
-    # slots (points isolated at > radius spacing — degenerate for a radius
-    # graph) drops the overflow cells' points from the graph (no edges ->
-    # geodesic unreached), the degraded-but-bounded contract used by every
-    # capacity here.
-    cc = max(p // max(cell_div, 1), 1)
-    # cell coords, shifted non-negative; clip to the packing range
     origin = jnp.min(jnp.where(mask[:, None], points, _BIG), axis=0)
     cells = jnp.clip(
         jnp.floor((points - origin) / radius).astype(jnp.int32), 0, spatial - 1
     )
     grid = voxelize(cells[None], mask[None], cc, spatial)
     p2c = grid.p2v[0]  # [P] point -> cell slot (cc = pad)
-    cell_keys = grid.voxel_keys[0]  # [CC] sorted packed keys
-    n_cells = grid.n_voxels[0]
 
     # cell -> points rulebook [CC, cell_cap], pad = p; the grid's own
     # sort order already groups points by cell (no extra argsort)
@@ -59,21 +57,57 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         jnp.where(ok, order, p), unique_indices=True, mode="promise_in_bounds"
     )[: cc * cell_cap].reshape(cc, cell_cap)
 
+    valid_sorted = mask[order]
+    n_dropped = grid.n_overflow[0] + jnp.sum(
+        (valid_sorted & (sorted_cells < cc) & (rank >= cell_cap)).astype(jnp.int32)
+    )
+
+    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
+    cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cell_cap * 3)
+    return grid, origin, cell_pts, cell_xyz, n_dropped
+
+
+def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024):
+    """3^3 cell-window lookup: query_cells [N,3] (x,y,z int) ->
+    [N,27] cell slots into the sorted cell table (cc = not-found pad)."""
+    offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)  # (x,y,z)
+    nc = query_cells[:, None, :] + offs[None, :, :]  # [N,27,3]
+    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & query_valid[:, None]
+    nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
+    # method="sort" beats XLA's binary-search lowering ~5x at this scale
+    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
+    cwin = jnp.minimum(cwin, cc - 1)
+    found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
+    return jnp.where(found, cwin, cc)  # pad cell
+
+
+def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
+                      cell_div=1, compact_width=0, with_stats=False):
+    p = points.shape[0]
+    # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
+    # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
+    # spacing, radius 5 cm -> ~3-8 points per cell) can pass cell_div=2 to
+    # halve the window-lookup sort; a scene with more occupied cells than
+    # slots (points isolated at > radius spacing — degenerate for a radius
+    # graph) drops the overflow cells' points from the graph (no edges ->
+    # geodesic unreached), the degraded-but-bounded contract used by every
+    # capacity here — counted in n_dropped (with_stats) and surfaced as
+    # voxel_stats["n_radius_cell_overflow"] by the model forward.
+    cc = max(p // max(cell_div, 1), 1)
+    grid, origin, cell_pts, cell_xyz, n_dropped = build_cell_table(
+        points, mask, radius, cc, cell_cap, spatial
+    )
+    p2c = grid.p2v[0]  # [P] point -> cell slot (cc = pad)
+    cell_keys = grid.voxel_keys[0]  # [CC] sorted packed keys
+    n_cells = grid.n_voxels[0]
+
     # 27-window per CELL, not per point: every point of a cell shares the
     # same window, so the searchsorted runs on [CC, 27] keys (~cell_div*6x
     # fewer than the old per-point [P, 27] at scan occupancy) and points
     # pick their window up with one [P]-row gather.
     ccoords = grid.voxel_coords[0]  # [CC, 3] (x,y,z); -1 at pad slots
     cmask = grid.voxel_mask[0]
-    offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)  # (x,y,z)
-    nc = ccoords[:, None, :] + offs[None, :, :]  # [CC,27,3]
-    in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & cmask[:, None]
-    nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-    # method="sort" beats XLA's binary-search lowering ~5x at this scale
-    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
-    cwin = jnp.minimum(cwin, cc - 1)
-    found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
-    cwin = jnp.where(found, cwin, cc)  # pad cell
+    cwin = window_lookup(cell_keys, n_cells, cc, ccoords, cmask, spatial)
 
     # per-point candidate cells [P, 27] (one row-gather), then candidate
     # points [P, 27*cap]
@@ -85,18 +119,13 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     )
     cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
 
-    # candidate positions: flat-packed two-hop gather. Hop 1 packs each
-    # cell's member positions as 2D rows [CC, cap*3] (524k point-rows
-    # total); hop 2 gathers whole cells per window slot as [P, 27] rows of
-    # cap*12 B. Everything stays 2D with xyz interleaved on the LANE axis,
-    # so the strided-lane d2 below never materializes a 3-minor tensor —
-    # the naive [P*27, cap, 3] form tile-pads (8,128) on the trailing dims
-    # (42.7x expansion, 13.5 GB at prod — OOMs the chip). Measured 49 ms vs
-    # 114 ms for the per-candidate pointwise gather at fg=131072 (the
-    # pointwise form pays 27*cap point-row gathers per point); bit-identical
-    # output (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
-    pts_pad = jnp.concatenate([points, jnp.zeros((1, 3), points.dtype)], axis=0)
-    cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cell_cap * 3)
+    # candidate positions: flat-packed two-hop gather (build_cell_table
+    # packed each cell's member positions as [CC, cap*3] 2D rows — 524k
+    # point-rows total); hop 2 gathers whole cells per window slot as
+    # [P, 27] rows of cap*12 B. Measured 49 ms vs 114 ms for the
+    # per-candidate pointwise gather at fg=131072 (the pointwise form pays
+    # 27*cap point-row gathers per point); bit-identical output
+    # (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
     cell_xyz_pad = jnp.concatenate(
         [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
     )
@@ -130,7 +159,8 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         d2k = -neg_d
         valid = d2k < _BIG
         idx = jnp.where(valid, idx, p)
-        return jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
+        out = jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
+        return (*out, n_dropped) if with_stats else out
 
     # sort-free compaction: cumsum ranks + batched searchsorted pick the
     # first k in-radius candidates in candidate order — top_k over the
@@ -146,11 +176,13 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     pos = jnp.minimum(pos, d2.shape[1] - 1)
     idx = jnp.where(valid, jnp.take_along_axis(cand, pos, axis=1), p)
     d2k = jnp.where(valid, jnp.take_along_axis(d2, pos, axis=1), _BIG)
-    return d2k, idx.astype(jnp.int32)
+    out = d2k, idx.astype(jnp.int32)
+    return (*out, n_dropped) if with_stats else out
 
 
 def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
-               cell_div: int = 1, compact_width: int = 0):
+               cell_div: int = 1, compact_width: int = 0,
+               with_stats: bool = False):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
     (self excluded), exact up to `cell_cap` points per radius-cell and
@@ -158,10 +190,13 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
 
     sort=True returns the K nearest ascending; sort=False compacts the
     first K in-radius candidates without the (expensive) top-k — identical
-    edge set whenever the in-radius count <= K.
+    edge set whenever the in-radius count <= K. with_stats appends a [B]
+    int32 count of valid points dropped from the candidate table (cell-slot
+    or per-cell capacity overflow) — those points get no incoming edges.
     """
     return jax.vmap(
         lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
                                         cell_div=cell_div,
-                                        compact_width=compact_width)
+                                        compact_width=compact_width,
+                                        with_stats=with_stats)
     )(points, mask)

@@ -100,7 +100,7 @@ def main():
         t0 = time.time()
         rng, sub = jax.random.split(rng)
         out = eval_fn(variables, jax.tree.map(jnp.asarray, batch), sub)
-        n_points = int(batch["n_points"][0])
+        n_points = int(batch["n_points"][0])  # device-resolution count (log only)
         raw = np.load(dataset.file_names[i])
         pred_info = proposals_to_pred_info(
             cfg, jax.device_get(out["proposals"]), batch, raw[:, :3]
@@ -111,14 +111,18 @@ def main():
         evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
         vs = jax.device_get(out["voxel_stats"])
         if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
-                or bool(vs["saturated"][0])):
+                or bool(vs["saturated"][0])
+                or int(vs["n_radius_cell_overflow"][0])):
             logger.warning(
                 f"{scene_name}: voxel capacity degraded — "
                 f"{int(vs['n_overflow_points'][0])} points over voxel capacity, "
                 f"{int(vs['n_oor_points'][0])} outside the spatial grid, "
                 f"saturated={bool(vs['saturated'][0])} "
-                f"({int(vs['n_voxels'][0])}/{int(vs['capacity'][0])} voxels); "
-                f"raise TPU.tpu_max_voxels / tpu_spatial_shape"
+                f"({int(vs['n_voxels'][0])}/{int(vs['capacity'][0])} voxels), "
+                f"{int(vs['n_radius_cell_overflow'][0])} fg points dropped from "
+                f"the geodesic graph (radius-cell capacity); "
+                f"raise TPU.tpu_max_voxels / tpu_spatial_shape / "
+                f"lower tpu_radius_cell_div"
             )
         if save_dir is not None:
             if cfg.save_instance:

@@ -116,3 +116,29 @@ def test_geoformer_fs_forward(tiny_cfg, rngs):
         rngs={"sample": rngs["sample"]}, method=GeoFormerFS.decode_with_support,
     )
     assert dec["mask_logits"].shape == (1, B, Q, mc.max_fg_points)
+
+
+def test_strided_pack_by_mask():
+    """Eval fg subsample: identity when the valid prefix fits capacity;
+    a uniform monotone non-repeating stride over the prefix when not."""
+    from geoformer_tpu.models.geoformer import strided_pack_by_mask
+
+    # fits: identity prefix
+    m = jnp.asarray([True] * 10 + [False] * 6)
+    idx, valid = strided_pack_by_mask(m, 12)
+    np.testing.assert_array_equal(np.asarray(idx[:10]), np.arange(10))
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  [True] * 10 + [False] * 2)
+
+    # binds: n=500 valid, cap=64 -> strictly increasing, spans the prefix
+    m2 = jnp.asarray([True] * 500 + [False] * 12)
+    idx2, valid2 = strided_pack_by_mask(m2, 64)
+    i2 = np.asarray(idx2)
+    assert np.asarray(valid2).all()
+    assert (np.diff(i2) >= 1).all()          # no repeats
+    assert i2[0] == 0 and i2[-1] >= 500 - 500 // 64 - 1  # covers the range
+    assert (i2 < 500).all()                  # never a pad point
+
+    # uniformity: bin the picks into 8 equal prefix bins -> 8 +- 1 per bin
+    hist, _ = np.histogram(i2, bins=8, range=(0, 500))
+    assert hist.min() >= 7 and hist.max() <= 9

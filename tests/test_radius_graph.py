@@ -88,6 +88,36 @@ def test_radius_knn_unsorted_same_edge_set():
         assert s == u, q
 
 
+def test_radius_knn_with_stats_counts_drops():
+    """with_stats: 0 on healthy scenes; counts the valid points a binding
+    cell-slot or per-cell capacity excludes from the candidate table."""
+    rng = np.random.default_rng(4)
+    p, k, r = 256, 4, 0.1
+    pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
+    mask = np.ones(p, bool)
+    mask[250:] = False
+    _, _, ovf = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                           cell_cap=16, with_stats=True)
+    assert int(ovf[0]) == 0
+
+    # per-cell capacity binds: 40 coincident points, cap 8 -> 32 dropped
+    pts2 = np.full((40, 3), 0.5, np.float32) + rng.normal(
+        0, 1e-4, size=(40, 3)).astype(np.float32)
+    mask2 = np.ones(40, bool)
+    _, _, ovf2 = radius_knn(jnp.asarray(pts2[None]), jnp.asarray(mask2[None]), r, k,
+                            cell_cap=8, with_stats=True)
+    assert int(ovf2[0]) == 32
+
+    # cell-slot capacity binds: 64 points isolated beyond the radius
+    # (64 occupied cells) with cell_div=4 -> only 16 cell slots
+    pts3 = (np.arange(64, dtype=np.float32)[:, None] * np.asarray(
+        [[3 * r, 0, 0]], np.float32))
+    mask3 = np.ones(64, bool)
+    _, _, ovf3 = radius_knn(jnp.asarray(pts3[None]), jnp.asarray(mask3[None]), r, k,
+                            cell_cap=8, cell_div=4, with_stats=True)
+    assert int(ovf3[0]) == 64 - 16
+
+
 def test_radius_knn_cell_div_dense_surface():
     """cell_div=2 (the model's setting for dense scan surfaces) matches the
     exact cell_div=1 result when cell occupancy >= 2 — here a 2.8 cm-spaced
