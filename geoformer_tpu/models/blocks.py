@@ -217,4 +217,10 @@ class SimpleNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / (x.shape[-1] - 1)
-        return alpha * (x - mean) / (jnp.sqrt(var) + self.eps) + bias
+        # double-where: d sqrt/d var = inf at var=0, and 0-upstream * inf =
+        # NaN in the backward. Static-shape pad voxel rows are exactly
+        # constant at init (zero biases), so from-scratch training NaN'd on
+        # step 1 whenever the bottleneck level had pad rows. Forward is
+        # bit-identical (sqrt(0) == 0 == where branch).
+        std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)), 0.0)
+        return alpha * (x - mean) / (std + self.eps) + bias

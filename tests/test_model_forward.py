@@ -142,3 +142,46 @@ def test_strided_pack_by_mask():
     # uniformity: bin the picks into 8 equal prefix bins -> 8 +- 1 per bin
     hist, _ = np.histogram(i2, bins=8, range=(0, 500))
     assert hist.min() >= 7 and hist.max() <= 9
+
+
+def test_train_grads_finite_with_pad_voxels(tiny_cfg, rngs):
+    """From-scratch step-1 gradients must be finite when the bottleneck
+    level has PAD voxel rows (constant features at init: SimpleNorm's
+    sqrt-at-zero-variance backward emitted NaN there — 0-upstream * inf).
+    Capacities here leave every level underfull, reproducing the original
+    NaN before the double-where fix in blocks.py:SimpleNorm."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    B, P, spatial = 1, 256, 64
+    batch = synthetic_batch(rng, B, P, spatial, n_valid=200)
+    mc = tiny_mc(tiny_cfg, max_voxels=2048, spatial=spatial)
+    model = GeoFormer(mc)
+    variables = model.init(rngs, batch, train=True)
+    # sanity: the bottleneck level must actually have pad rows
+    from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
+
+    caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+    plan = build_grid_plan(batch["coords"], batch["point_mask"], mc.spatial,
+                           mc.depth, caps,
+                           brick_occupancy=mc.brick_occupancy or None)
+    deep_mask = np.asarray(plan.grids[-1].voxel_mask)
+    assert (~deep_mask).sum() > 0, "test needs pad rows at the bottleneck"
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"],
+             "constants": variables.get("constants", {})},
+            batch, train=True,
+            rngs={"sample": rngs["sample"], "dropout": rngs["dropout"]},
+            mutable=["batch_stats"],
+        )[0]
+        # touch every head that feeds the train loss
+        return (jnp.sum(out["semantic_scores"])
+                + jnp.sum(out["mask_logits"]) + jnp.sum(out["cls_logits"]))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    bad = [jax.tree_util.keystr(k)
+           for k, v in jax.tree_util.tree_flatten_with_path(grads)[0]
+           if not bool(jnp.all(jnp.isfinite(v)))]
+    assert not bad, f"non-finite grads: {bad[:8]}"

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Training-step throughput at a given scale (single chip or a mesh).
+
+Times the FULL jitted train step (forward + losses + matcher + backward +
+optax update) on synthetic batches, D2H-observed (block_until_ready is a
+no-op on the tunnel backend). Defaults mirror the shipped production
+training scale per scene (config/geoformer_scannet.yaml: 250k-point scenes,
+30k train subsample, 2048 contexts, 128 queries) at --batch_size 1; the
+reference trains batch 16 over 4 GPUs (train.py:101-141, DDP) — pass
+--batch_size/--mesh to match multi-chip setups.
+
+Usage: python tools/train_bench.py [--batch_size 1] [--steps 5] [--prepare]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--points", type=int, default=250000)
+    ap.add_argument("--voxels", type=int, default=262144)
+    ap.add_argument("--fg", type=int, default=131072)
+    ap.add_argument("--subsample", type=int, default=30000)
+    ap.add_argument("--depth", type=int, default=7)
+    ap.add_argument("--contexts", type=int, default=2048)
+    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--spatial", type=int, default=1024)
+    ap.add_argument("--brick_occupancy", type=int, default=64)
+    ap.add_argument("--prepare", action="store_true",
+                    help="semantic-only phase (epoch <= prepare_epochs)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="devices for a (data[,model]) mesh (0 = no mesh)")
+    args = ap.parse_args()
+
+    from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from geoformer_tpu.engine import Engine
+    from geoformer_tpu.utils.config import load_config
+    from __graft_entry__ import _synthetic_batch
+
+    cfg = load_config(
+        None,
+        batch_size=args.batch_size,
+        n_decode_point=args.contexts,
+        n_query_points=args.queries,
+        n_downsampling=50000,
+        tpu_max_points=args.points,
+        tpu_max_voxels=args.voxels,
+        tpu_max_fg_points=args.fg,
+        tpu_train_subsample=args.subsample,
+        tpu_max_instances=64,
+        tpu_knn_neighbors=64,
+        tpu_spatial_shape=args.spatial,
+        tpu_unet_depth=args.depth,
+        tpu_ball_nsample=64,
+        tpu_brick_occupancy=args.brick_occupancy,
+        prepare_epochs=120 if args.prepare else 0,
+    )
+    mesh = None
+    if args.mesh:
+        from geoformer_tpu.parallel.mesh import make_mesh
+
+        mp = 2 if args.mesh % 2 == 0 and args.mesh > 1 else 1
+        mesh = make_mesh(args.mesh, model_parallel=mp)
+        print(f"mesh: data{args.mesh // mp} x model{mp}")
+
+    engine = Engine(cfg, few_shot=False, mesh=mesh)
+    batch = _synthetic_batch(cfg, args.batch_size, seed=0)
+    print(f"device={jax.devices()[0]} B={args.batch_size} "
+          f"points={args.points} subsample={args.subsample} "
+          f"phase={'prepare' if args.prepare else 'full'}", flush=True)
+
+    state = engine.init_state(batch, seed=0)
+    rng = jax.random.PRNGKey(0)
+    epoch = 1 if args.prepare else cfg.prepare_epochs + 1
+
+    t0 = time.perf_counter()
+    state, loss, loss_dict, lr = engine.train_step(state, batch, epoch=epoch, rng=rng)
+    print(f"compile+1st: {time.perf_counter() - t0:.1f}s loss={float(loss):.4f}",
+          flush=True)
+
+    ts = []
+    for i in range(args.steps):
+        batch_i = _synthetic_batch(cfg, args.batch_size, seed=i + 1)
+        t0 = time.perf_counter()
+        state, loss, loss_dict, lr = engine.train_step(
+            state, batch_i, epoch=epoch, rng=jax.random.fold_in(rng, i)
+        )
+        _ = float(loss)  # D2H observes completion on the tunnel backend
+        ts.append(time.perf_counter() - t0)
+        print(f"step {i + 1}: {ts[-1] * 1000:.1f}ms loss={float(loss):.4f}",
+              flush=True)
+    p50 = float(np.median(ts))
+    sps = args.batch_size / p50
+    print(f"p50 step: {p50 * 1000:.1f}ms  scenes/s: {sps:.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
