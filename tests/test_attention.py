@@ -79,3 +79,57 @@ def test_mha_chunked_grads_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_chunked_attention_grad_parity_with_masks():
+    """Backward parity: d/d(q,k,v) of the chunked path == dense path under
+    a padded tail + scattered invalid keys (the production bottleneck
+    regime — training runs the chunked path at N=8192)."""
+    rng = np.random.default_rng(4)
+    b, n, h, d = 2, 1536, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    mask = np.ones((b, n), bool)
+    mask[0, 1200:] = False
+    mask[1, :] = rng.random(n) > 0.3
+    mask = jnp.asarray(mask)
+    cot = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    # only valid-row outputs feed the loss (pad rows are where'd out
+    # downstream in the bottleneck)
+    cot = cot * mask[..., None, None]
+
+    def loss_c(q, k, v):
+        return jnp.sum(_chunked_attention(q, k, v, mask, chunk=512) * cot)
+
+    def loss_d(q, k, v):
+        return jnp.sum(_dense_attention(q, k, v, mask) * cot)
+
+    gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in zip(gc, gd, "qkv"):
+        assert np.isfinite(np.asarray(got)).all(), name
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
+
+
+def test_chunked_attention_all_masked_chunk_grads_finite():
+    """An entirely-masked key CHUNK (first 512 keys invalid) exercises the
+    online-softmax's running-max at its -inf init — the 0-upstream * inf
+    backward pattern that NaN'd SimpleNorm must not appear here."""
+    rng = np.random.default_rng(5)
+    b, n, h, d = 1, 1024, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
+    mask = np.ones((b, n), bool)
+    mask[0, :512] = False  # chunk 0 fully dead
+    mask = jnp.asarray(mask)
+
+    def loss(q, k, v):
+        out = _chunked_attention(q, k, v, mask, chunk=512)
+        return jnp.sum((out * mask[..., None, None]) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got, name in zip(g, "qkv"):
+        assert np.isfinite(np.asarray(got)).all(), name
