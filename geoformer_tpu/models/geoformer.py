@@ -84,6 +84,7 @@ class ModelConfig:
     # the prod-scale fine-sweep gathers were the single biggest line item
     # (~1.1 s of the 2.5 s forward at 131k fg points, K=64)
     geodesic_fine_k: int = 16
+    geodesic_k_sub: int = 16
     geodesic_cell_factor: float = 2.0
     ball_radius: float = 0.2
     # >0: voxel-hash ball query bounded to the 3^3 cell window (exact up to
@@ -168,6 +169,7 @@ class ModelConfig:
             geodesic_hier=cfg.tpu_geodesic_hier,
             geodesic_fine_sweeps=cfg.tpu_geodesic_fine_sweeps,
             geodesic_fine_k=cfg.tpu_geodesic_fine_k,
+            geodesic_k_sub=cfg.tpu_geodesic_k_sub,
             geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
@@ -436,7 +438,10 @@ class GeoFormerBase(nn.Module):
             # in full only by the exact solver)
             k_graph = mc.knn_neighbors
             if mc.geodesic_hier and mc.geodesic_fine_k:
-                k_graph = min(k_graph, max(mc.geodesic_fine_k, 16))
+                # hier mode only ever reads the nearest max(fine_k, k_sub)
+                # edge slots, and radius_knn packs ascending — narrower is
+                # bit-identical downstream
+                k_graph = min(k_graph, max(mc.geodesic_fine_k, mc.geodesic_k_sub))
             d2, nbr_i, graph_ovf = radius_knn(
                 fg_locs, fg_valid, mc.geodesic_radius, k_graph,
                 cell_cap=mc.radius_cell_cap,
@@ -453,6 +458,7 @@ class GeoFormerBase(nn.Module):
                     nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius,
                     steps, fg_locs, fine_sweeps=mc.geodesic_fine_sweeps,
                     cell_factor=mc.geodesic_cell_factor,
+                    k_sub=mc.geodesic_k_sub,
                     fine_k=mc.geodesic_fine_k or None,
                 ), graph_ovf  # [B, F, Q], [B]
             # symmetrize=False: the radius-kNN graph is symmetric up to the

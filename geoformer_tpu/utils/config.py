@@ -129,6 +129,8 @@ _DEFAULTS = dict(
     tpu_geodesic_hier=True,
     tpu_geodesic_fine_sweeps=6,
     tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
+    tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
+    # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)
     tpu_geodesic_cell_factor=2.0,
     # sweep-units, not single hops: one forward+backward block sweep pair
     # propagates many hops (see ops/geodesic.py); 64 units cover any

@@ -79,6 +79,7 @@ def main():
     ap.add_argument("--cell_cap", type=int, default=8)
     ap.add_argument("--fine_sweeps", type=int, default=6)
     ap.add_argument("--fine_k", type=int, default=16)
+    ap.add_argument("--k_sub", type=int, default=16)
     ap.add_argument("--cell_factor", type=float, default=2.0)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--stages", type=str, default="all")
@@ -249,7 +250,7 @@ def main():
     @jax.jit
     def contract(pts, mask, nbr, nbr_d):
         nb, w = _prep_edges(nbr[0], nbr_d[0], mask[0], args.radius)
-        return _coarse_contract(pts[0], mask[0], nb, w, cell, c_cap, 32, 16)
+        return _coarse_contract(pts[0], mask[0], nb, w, cell, c_cap, 32, args.k_sub)
 
     if "contract" in want:
         timed(contract, pts, mask, nbr, nbr_d, label="coarse contract")
@@ -259,7 +260,7 @@ def main():
         # piecewise replication of _coarse_contract to attribute its cost
         from geoformer_tpu.ops.voxelize import _voxelize_scene
 
-        k_sub = 16
+        k_sub = args.k_sub
         big = 1e9
 
         @jax.jit
@@ -399,7 +400,7 @@ def main():
             return geodesic_distance_hier(
                 nbr, nbr_d, seeds, seed_mask, mask, args.radius, args.steps,
                 pts, fine_sweeps=args.fine_sweeps, cell_factor=args.cell_factor,
-                fine_k=args.fine_k or None,
+                k_sub=args.k_sub, fine_k=args.fine_k or None,
             )
 
         timed(hier, nbr, nbr_d, seeds, seed_mask, mask, pts, label="hier solve (full)")
