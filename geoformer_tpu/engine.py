@@ -143,3 +143,21 @@ class Engine:
 
             self._eval_fn = fn
         return self._eval_fn
+
+    def eval_batch(self, variables, batch, rng, support=None):
+        """Run the jitted eval forward on a [B, ...] batch, sharded over the
+        mesh's data axis when B divides it (multi-chip eval serving; no
+        reference analog — its test drivers are strictly bs=1)."""
+        b = jax.tree.leaves(batch)[0].shape[0]
+        n_data = dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        ).get("data", 1)
+        if n_data > 1 and b % n_data == 0:
+            batch = shard_batch(batch, self.mesh)
+            if support is not None:
+                support = shard_batch(support, self.mesh)
+        fn = self.eval_fn()
+        with jax.sharding.set_mesh(self.mesh):
+            if self.few_shot:
+                return fn(variables, support, batch, rng)
+            return fn(variables, batch, rng)

@@ -91,6 +91,11 @@ _DEFAULTS = dict(
     test_epoch=29999,
     test_workers=0,
     test_seed=567,
+    # scenes per eval dispatch (test.py). >1 batches scenes into one jitted
+    # forward — sharded over the mesh's data axis when divisible — which
+    # both scales eval across chips and amortizes the per-dispatch floor on
+    # one chip. 1 = reference protocol (test.py bs=1).
+    test_batch_size=1,
     TEST_NMS_THRESH=0.3,
     TEST_SCORE_THRESH=0.1,
     TEST_NPOINT_THRESH=50,

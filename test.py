@@ -26,14 +26,14 @@ from geoformer_tpu.utils.logger import create_logger
 import jax.numpy as jnp
 
 
-def proposals_to_pred_info(cfg, proposals, batch, raw_xyz):
+def proposals_to_pred_info(cfg, proposals, batch, raw_xyz, idx=0):
     """Apply keep flags + matrix NMS; project masks to raw resolution
     (reference scores at the scene's full N — test.py:33-134); return host
-    pred_info dict."""
-    masks = proposals["masks"][0]  # [Q,P]
-    scores = proposals["scores"][0]
-    classes = proposals["classes"][0]
-    keep = proposals["keep"][0]
+    pred_info dict. `idx` selects a scene of a batched eval dispatch."""
+    masks = proposals["masks"][idx]  # [Q,P]
+    scores = proposals["scores"][idx]
+    classes = proposals["classes"][idx]
+    keep = proposals["keep"][idx]
     fold = np.asarray(FOLD[cfg.cvfold])
     bench = np.asarray(BENCHMARK_SEMANTIC_LABELS)
 
@@ -42,7 +42,8 @@ def proposals_to_pred_info(cfg, proposals, batch, raw_xyz):
         sigma=2.0, final_score_thresh=cfg.TEST_NMS_THRESH,
     )
     keep_np = np.asarray(keep_nms)
-    masks_np = masks_to_raw(np.asarray(masks)[keep_np], batch, raw_xyz)
+    masks_np = masks_to_raw(np.asarray(masks)[keep_np], batch, raw_xyz,
+                            scene_index=idx)
     scores_np = np.asarray(scores)[keep_np]
     cls_np = np.asarray(classes)[keep_np]
     semantic_ids = bench[fold[np.clip(cls_np - 4, 0, len(fold) - 1)]]
@@ -88,7 +89,6 @@ def main():
         "batch_stats": ckpt["batch_stats"],
         "constants": ckpt.get("constants", {}),
     }
-    eval_fn = engine.eval_fn()
     evaluator = ScanNetEval(cfg.cvfold)
     rng = jax.random.PRNGKey(cfg.test_seed)
 
@@ -96,50 +96,86 @@ def main():
 
     prof = profile_trace(cfg.profile_dir, enabled=cfg.profile_dir is not None)
     prof.__enter__()
-    for i, (scene_name, batch) in enumerate(dataset.test_batches()):
-        t0 = time.time()
-        rng, sub = jax.random.split(rng)
-        out = eval_fn(variables, jax.tree.map(jnp.asarray, batch), sub)
-        n_points = int(batch["n_points"][0])  # device-resolution count (log only)
-        raw = np.load(dataset.file_names[i])
-        pred_info = proposals_to_pred_info(
-            cfg, jax.device_get(out["proposals"]), batch, raw[:, :3]
-        )
-        # gt at full raw resolution, never truncated — masks above are
-        # projected to the same raw N (reference test.py:33-134)
-        gt_ids = make_gt_ids(raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32))
-        evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
-        vs = jax.device_get(out["voxel_stats"])
-        if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
-                or bool(vs["saturated"][0])
-                or int(vs["n_radius_cell_overflow"][0])):
-            logger.warning(
-                f"{scene_name}: voxel capacity degraded — "
-                f"{int(vs['n_overflow_points'][0])} points over voxel capacity, "
-                f"{int(vs['n_oor_points'][0])} outside the spatial grid, "
-                f"saturated={bool(vs['saturated'][0])} "
-                f"({int(vs['n_voxels'][0])}/{int(vs['capacity'][0])} voxels), "
-                f"{int(vs['n_radius_cell_overflow'][0])} fg points dropped from "
-                f"the geodesic graph (radius-cell capacity); "
-                f"raise TPU.tpu_max_voxels / tpu_spatial_shape / "
-                f"lower tpu_radius_cell_div"
-            )
-        if save_dir is not None:
-            if cfg.save_instance:
-                save_benchmark_predictions(save_dir, scene_name, pred_info)
-            if cfg.save_semantic:
-                from geoformer_tpu.utils.visualize import export_scene_predictions
+    # Scenes are evaluated `test_batch_size` per dispatch: one jitted
+    # forward over a [G, P, ...] batch, sharded across the mesh's data axis
+    # when G divides it (multi-chip eval; no reference analog — test.py is
+    # strictly bs=1). The final partial group is padded by repeating the
+    # last scene; padded lanes are never post-processed.
+    group_size = max(1, int(getattr(cfg, "test_batch_size", 1)))
+    n_scenes = len(dataset)
 
-                sem_dev = np.asarray(jax.device_get(out["semantic_scores"]))[0]
-                sem = labels_to_raw(sem_dev, batch, raw[:, :3]).argmax(-1)
-                export_scene_predictions(
-                    save_dir, scene_name, raw[:, :3], sem,
-                    pred_info["mask"].astype(bool),
-                )
-        logger.info(
-            f"[{i + 1}/{len(dataset)}] {scene_name}: {n_points} pts, "
-            f"{len(pred_info['conf'])} proposals, {time.time() - t0:.2f}s"
+    def process_group(group, rng_sub):
+        t0 = time.time()
+        batches = [b for _, _, b in group]
+        pad = group_size - len(batches)
+        stacked = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *(batches + [batches[-1]] * pad),
+        ) if (group_size > 1) else batches[0]
+        out = engine.eval_batch(
+            variables, jax.tree.map(jnp.asarray, stacked), rng_sub
         )
+        proposals = jax.device_get(out["proposals"])
+        vs = jax.device_get(out["voxel_stats"])
+        sem_all = (
+            np.asarray(jax.device_get(out["semantic_scores"]))
+            if (save_dir is not None and cfg.save_semantic) else None
+        )
+        dt = (time.time() - t0) / len(group)
+        for j, (i, scene_name, batch) in enumerate(group):
+            raw = np.load(dataset.file_names[i])
+            pred_info = proposals_to_pred_info(
+                cfg, proposals, stacked, raw[:, :3], idx=j
+            )
+            # gt at full raw resolution, never truncated — masks above are
+            # projected to the same raw N (reference test.py:33-134)
+            gt_ids = make_gt_ids(
+                raw[:, 6].astype(np.int32), raw[:, 7].astype(np.int32)
+            )
+            evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
+            if (int(vs["n_overflow_points"][j]) or int(vs["n_oor_points"][j])
+                    or bool(vs["saturated"][j])
+                    or int(vs["n_radius_cell_overflow"][j])):
+                logger.warning(
+                    f"{scene_name}: voxel capacity degraded — "
+                    f"{int(vs['n_overflow_points'][j])} points over voxel capacity, "
+                    f"{int(vs['n_oor_points'][j])} outside the spatial grid, "
+                    f"saturated={bool(vs['saturated'][j])} "
+                    f"({int(vs['n_voxels'][j])}/{int(vs['capacity'][j])} voxels), "
+                    f"{int(vs['n_radius_cell_overflow'][j])} fg points dropped from "
+                    f"the geodesic graph (radius-cell capacity); "
+                    f"raise TPU.tpu_max_voxels / tpu_spatial_shape / "
+                    f"lower tpu_radius_cell_div"
+                )
+            if save_dir is not None:
+                if cfg.save_instance:
+                    save_benchmark_predictions(save_dir, scene_name, pred_info)
+                if cfg.save_semantic:
+                    from geoformer_tpu.utils.visualize import export_scene_predictions
+
+                    sem = labels_to_raw(
+                        sem_all[j], stacked, raw[:, :3], scene_index=j
+                    ).argmax(-1)
+                    export_scene_predictions(
+                        save_dir, scene_name, raw[:, :3], sem,
+                        pred_info["mask"].astype(bool),
+                    )
+            n_points = int(batch["n_points"][0])  # device-resolution count
+            logger.info(
+                f"[{i + 1}/{n_scenes}] {scene_name}: {n_points} pts, "
+                f"{len(pred_info['conf'])} proposals, {dt:.2f}s"
+            )
+
+    group = []
+    for i, (scene_name, batch) in enumerate(dataset.test_batches()):
+        group.append((i, scene_name, batch))
+        if len(group) == group_size:
+            rng, sub = jax.random.split(rng)
+            process_group(group, sub)
+            group = []
+    if group:
+        rng, sub = jax.random.split(rng)
+        process_group(group, sub)
 
     prof.__exit__(None, None, None)
     avgs = evaluator.compute_averages()

@@ -134,21 +134,39 @@ def main():
     evaluators = [ScanNetEval(cfg.cvfold) for _ in range(cfg.run_num)]
     bench = np.asarray(BENCHMARK_SEMANTIC_LABELS)
 
-    n_scenes = 0
-    for scene_name, active, host_batch in dataset.test_batches():
-        n_scenes += 1
-        t0 = time.time()
+    # `test_batch_size` scenes encode per jitted dispatch, sharded over the
+    # mesh's data axis when divisible (the encode leg dominates the
+    # per-scene cost; no reference analog — test_fs.py is strictly bs=1).
+    # Each scene then decodes from its slice of the batched cache.
+    group_size = max(1, int(getattr(cfg, "test_batch_size", 1)))
+
+    def encode_group(host_batches, r):
+        pad = group_size - len(host_batches)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(
+                np.concatenate([np.asarray(x) for x in xs], axis=0)
+            ),
+            *(host_batches + [host_batches[-1]] * pad),
+        ) if group_size > 1 else jax.tree.map(jnp.asarray, host_batches[0])
+        from geoformer_tpu.parallel.mesh import shard_batch
+
+        b = jax.tree.leaves(stacked)[0].shape[0]
+        n_data = dict(
+            zip(engine.mesh.axis_names, engine.mesh.devices.shape)
+        ).get("data", 1)
+        if n_data > 1 and b % n_data == 0:
+            stacked = shard_batch(stacked, engine.mesh)
+        with jax.sharding.set_mesh(engine.mesh):
+            cache = encode(stacked, r)
+        cache["_point_mask"] = stacked["point_mask"]
+        return stacked, cache
+
+    def process_scene(scene_name, active, host_batch, batch, cache, t0):
+        nonlocal rng
         raw = np.load(dataset._scene_path(scene_name))
         raw_xyz = raw[:, :3]
         gt_raw_labels = raw[:, 6].astype(np.int32)
         gt_inst = raw[:, 7].astype(np.int32)
-
-        # ONE encode per scene — the cache is label/class-independent, so
-        # every active class (and every run) decodes against it
-        batch = jax.tree.map(jnp.asarray, host_batch)
-        rng, sub = jax.random.split(rng)
-        cache = encode(batch, sub)
-        cache["_point_mask"] = batch["point_mask"]
         vs = jax.device_get(cache["voxel_stats"])
         if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
                 or bool(vs["saturated"][0])
@@ -210,7 +228,32 @@ def main():
                 "mask": [p["mask"] for p in preds],
             }
             evaluators[run_i].assign_instances_for_scan(scene_name, pred_info, gt_ids)
-        logger.info(f"{scene_name}: {len(active)} classes x {cfg.run_num} runs, {time.time() - t0:.2f}s")
+        logger.info(
+            f"{scene_name}: {len(active)} classes x {cfg.run_num} runs, "
+            f"{time.time() - t0:.2f}s"
+        )
+
+    def process_group(group):
+        nonlocal rng
+        t0 = time.time()
+        rng, sub = jax.random.split(rng)
+        stacked, cache = encode_group([hb for _, _, hb in group], sub)
+        for j, (scene_name, active, host_batch) in enumerate(group):
+            scene_batch = jax.tree.map(lambda x: x[j:j + 1], stacked)
+            scene_cache = jax.tree.map(lambda x: x[j:j + 1], cache)
+            process_scene(scene_name, active, host_batch, scene_batch,
+                          scene_cache, t0)
+
+    n_scenes = 0
+    group = []
+    for scene_name, active, host_batch in dataset.test_batches():
+        n_scenes += 1
+        group.append((scene_name, active, host_batch))
+        if len(group) == group_size:
+            process_group(group)
+            group = []
+    if group:
+        process_group(group)
 
     per_run_avgs = [ev.compute_averages() for ev in evaluators]
     avgs = average_over_runs(per_run_avgs)
