@@ -173,10 +173,34 @@ def measure(scale: str):
                 # are the uncached number
                 "compile_cache_dir_entries": _cache_entries(),
                 "device": str(jax.devices()[0]),
+                **(
+                    {"note": "TPU tunnel unreachable; CPU fallback"}
+                    if os.environ.get("GEOFORMER_BENCH_CPU_FALLBACK")
+                    else {}
+                ),
             }
         ),
         flush=True,
     )
+
+
+def _tunnel_up(env, here) -> bool:
+    """Quick healthcheck: can a fresh process see the TPU? The axon tunnel
+    in this environment goes down for hours at a time, and a dead tunnel
+    makes `jax.devices()` hang — without this check the fallback chain
+    burns every scale's full timeout before reporting."""
+    probe = (
+        "import jax; d = jax.devices(); assert 'TPU' in str(d[0]); "
+        "import jax.numpy as jnp; print(float(jnp.ones(4).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe], timeout=150, capture_output=True,
+            env=env, cwd=here,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
@@ -191,11 +215,28 @@ def main():
     chain = ("full", "half", "small")
     if len(sys.argv) > 2 and sys.argv[1] == "--scale":
         chain = (sys.argv[2],)
+    timeouts = dict(TIMEOUTS)
+    if not _tunnel_up(env, here):
+        # Honest degraded mode: measure on the host CPU at small scale and
+        # label the device in the JSON rather than emitting value 0.0 after
+        # 80 minutes of per-scale timeouts. CPU needs the axon plugin
+        # stripped (its sitecustomize overrides JAX_PLATFORMS, CLAUDE.md).
+        print("# TPU tunnel unreachable; falling back to CPU small scale",
+              file=sys.stderr)
+        env = {
+            k: v for k, v in env.items()
+            if not k.startswith(("PALLAS_AXON", "AXON_"))
+        }
+        env["PYTHONPATH"] = here
+        env["JAX_PLATFORMS"] = "cpu"
+        env["GEOFORMER_BENCH_CPU_FALLBACK"] = "1"
+        chain = ("small",)
+        timeouts["small"] = 2400
     for scale in chain:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker", scale],
-                timeout=TIMEOUTS[scale], capture_output=True, text=True, env=env,
+                timeout=timeouts[scale], capture_output=True, text=True, env=env,
                 cwd=here,
             )
         except subprocess.TimeoutExpired:
