@@ -5,7 +5,7 @@
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
-LOG=/tmp/onchip_suite.log
+LOG=${ONCHIP_SUITE_LOG:-/root/repo/ONCHIP_SUITE_r3.log}
 run() {
   echo "=== [$(date +%H:%M:%S)] $*" >> "$LOG"
   timeout "$1" "${@:2}" >> "$LOG" 2>&1
