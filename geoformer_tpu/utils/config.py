@@ -132,7 +132,11 @@ _DEFAULTS = dict(
     # two-level geodesic: coarse cell-graph fixpoint + fine smoothing
     # sweeps (ops/geodesic.py:_hier_scene) — ~7-10x faster at eval scale
     tpu_geodesic_hier=True,
-    tpu_geodesic_fine_sweeps=6,
+    # on-chip at prod fg=131k the hier solve runs 391/340/335 ms at
+    # sweeps 6/4/2 (ONCHIP_SUITE_r3); AP50 holds at 1.0 down to (fine_k=16,
+    # sweeps=2) on the walled AP scene (DESIGN.md) — 4 takes the 51 ms and
+    # keeps 2x margin from the (8,2) collapse cliff
+    tpu_geodesic_fine_sweeps=4,
     tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
     tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
     # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)
