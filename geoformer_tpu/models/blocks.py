@@ -28,11 +28,18 @@ class MaskedBatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
 
+        # bf16-resident inputs (the brick-dense U-Net levels): stats MUST
+        # accumulate in f32 (a bf16 sum over ~10^6 elements loses the batch
+        # mean), the normalize chain runs f32 in-register (XLA fuses the
+        # upcast), and the output returns in the input dtype so level
+        # residency holds
+        xd = x.dtype
+        xf = x.astype(jnp.float32)
         if train:
-            m = mask.astype(x.dtype)[..., None]
+            m = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / n
-            var = jnp.sum(m * (x - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
+            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / n
+            var = jnp.sum(m * (xf - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -40,12 +47,12 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y * scale + bias
-        return y
+        return y.astype(xd)
 
 
 class MLPConvBlock(nn.Module):

@@ -79,7 +79,7 @@ class ModelConfig:
     # at eval scale, O(cell)-approximate (the reference field is itself a
     # capped first-visit BFS approximation, geodesic_utils.py:91-164)
     geodesic_hier: bool = True
-    geodesic_fine_sweeps: int = 6
+    geodesic_fine_sweeps: int = 4  # keep in sync with utils/config.py
     # fine smoothing runs on the nearest fine_k edge slots only (0 = all):
     # the prod-scale fine-sweep gathers were the single biggest line item
     # (~1.1 s of the 2.5 s forward at 131k fg points, K=64)
@@ -88,12 +88,12 @@ class ModelConfig:
     geodesic_cell_factor: float = 2.0
     ball_radius: float = 0.2
     # >0: voxel-hash ball query bounded to the 3^3 cell window (exact up to
-    # this many points per radius-cell) instead of brute-force [K,P] tiles
-    ball_cell_cap: int = 0
-    # >0: two-stage radius_knn top-k (compact in-radius candidates to this
-    # many lanes before the nearest-k sort); exact while in-radius counts
-    # stay under it
-    knn_compact_width: int = 0
+    # this many points per radius-cell) instead of brute-force [K,P] tiles.
+    # 32 measured the prod aggregator 454.5 -> 357.6 ms (ONCHIP_SUITE_r3)
+    ball_cell_cap: int = 32
+    # per-cell candidate-window compaction for the radius kNN (0 = full
+    # 27*cell_cap width; measured loss on v5e — see utils/config.py)
+    knn_window: int = 0
     ball_nsample: int = 64
     test_score_thresh: float = 0.5
     test_npoint_thresh: int = 100
@@ -109,9 +109,6 @@ class ModelConfig:
     # conv stack on v5e (vs 310 ms rulebook); 32 is the default for its
     # capacity margin (overflow is counted + warned either way)
     brick_occupancy: int = 32
-    # lane-packed banded brick convs (ops/brick.py dense_subm_conv_banded):
-    # fold the brick x axis into lanes so small-C levels stop tile-padding
-    brick_banded: bool = False
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
@@ -174,12 +171,11 @@ class ModelConfig:
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
             ball_cell_cap=cfg.tpu_ball_cell_cap,
-            knn_compact_width=cfg.tpu_knn_compact_width,
+            knn_window=cfg.tpu_knn_window,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
             subm_k=cfg.tpu_subm_k,
             brick_occupancy=cfg.tpu_brick_occupancy,
-            brick_banded=cfg.tpu_brick_banded,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
         )
@@ -209,7 +205,7 @@ def _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs):
         in_specs=(P(d, m), P(d, m), P(d), P(d)),
         # (geo table, per-scene graph-overflow count — replicated within a
         # model group: the graph build runs per model-shard on full scenes)
-        out_specs=(P(d, None, m), P(d)),
+        out_specs=(P(d, None, m), P(d), P(d)),
         # the solver body is collective-free (columns independent); the vma
         # tracker otherwise demands pcasts on every while_loop carry
         check_vma=False,
@@ -283,7 +279,7 @@ class GeoFormerBase(nn.Module):
         self.backbone = SparseUNetBackbone(
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
-            remat=mc.remat, banded=mc.brick_banded, name="backbone",
+            remat=mc.remat, name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [
@@ -442,11 +438,11 @@ class GeoFormerBase(nn.Module):
                 # edge slots, and radius_knn packs ascending — narrower is
                 # bit-identical downstream
                 k_graph = min(k_graph, max(mc.geodesic_fine_k, mc.geodesic_k_sub))
-            d2, nbr_i, graph_ovf = radius_knn(
+            d2, nbr_i, graph_ovf, graph_wovf = radius_knn(
                 fg_locs, fg_valid, mc.geodesic_radius, k_graph,
                 cell_cap=mc.radius_cell_cap,
                 cell_div=mc.radius_cell_div,
-                compact_width=mc.knn_compact_width,
+                window=mc.knn_window,
                 with_stats=True,  # cell-capacity drops surface, never silent
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
@@ -460,7 +456,7 @@ class GeoFormerBase(nn.Module):
                     cell_factor=mc.geodesic_cell_factor,
                     k_sub=mc.geodesic_k_sub,
                     fine_k=mc.geodesic_fine_k or None,
-                ), graph_ovf  # [B, F, Q], [B]
+                ), graph_ovf, graph_wovf  # [B, F, Q], [B], [B]
             # symmetrize=False: the radius-kNN graph is symmetric up to the
             # K cap, so the reverse-edge table would double relaxation
             # traffic for near-zero effect
@@ -468,7 +464,7 @@ class GeoFormerBase(nn.Module):
                 nbr_i, nbr_d, seeds, seed_mask, fg_valid, mc.geodesic_radius, steps,
                 symmetrize=False, positions=fg_locs,  # spatial sweep ordering
                 relax_dtype=jnp.int16 if mc.geodesic_int16 else None,
-            ), graph_ovf  # [B, F, Q], [B]
+            ), graph_ovf, graph_wovf  # [B, F, Q], [B], [B]
 
         # the [B,F,Q] table is the forward's biggest tensor, the solve its
         # most serial stage, and every distance column is independent: run
@@ -478,8 +474,10 @@ class GeoFormerBase(nn.Module):
         # per-scene lax.map running replicated and the table being
         # all-gathered afterwards. Falls back to the unsharded solve on
         # single-axis / indivisible meshes.
-        geo, graph_ovf = _shard_solve(solve, seeds, seed_mask, fg_valid, fg_locs)
-        return maybe_shard(geo, "data", None, "model"), graph_ovf
+        geo, graph_ovf, graph_wovf = _shard_solve(
+            solve, seeds, seed_mask, fg_valid, fg_locs
+        )
+        return maybe_shard(geo, "data", None, "model"), graph_ovf, graph_wovf
 
     # ---------------- decoder ----------------
 
@@ -629,11 +627,12 @@ class GeoFormer(GeoFormerBase):
         context_locs, context_feats, context_inds, context_valid = self.forward_aggregator(
             fg_locs, fg_feats, fg_valid, train
         )
-        geo_dist, graph_ovf = self.forward_geodesic(
+        geo_dist, graph_ovf, graph_wovf = self.forward_geodesic(
             fg_locs, fg_valid, context_inds, context_valid, train
         )
         outputs["voxel_stats"] = dict(
-            outputs["voxel_stats"], n_radius_cell_overflow=graph_ovf
+            outputs["voxel_stats"], n_radius_cell_overflow=graph_ovf,
+            n_radius_window_overflow=graph_wovf,
         )
 
         dec_outputs, query_locs, query_valid = self.run_decoder(

@@ -108,12 +108,13 @@ class GeoFormerFS(GeoFormerBase):
         context_locs, context_feats, context_inds, context_valid = self.forward_aggregator(
             fg_locs, fg_feats, fg_valid, train
         )
-        geo_dist, graph_ovf = self.forward_geodesic(
+        geo_dist, graph_ovf, graph_wovf = self.forward_geodesic(
             fg_locs, fg_valid, context_inds, context_valid, train
         )
         return {
             "semantic_scores": semantic_scores,
-            "voxel_stats": dict(vox_stats, n_radius_cell_overflow=graph_ovf),
+            "voxel_stats": dict(vox_stats, n_radius_cell_overflow=graph_ovf,
+                                n_radius_window_overflow=graph_wovf),
             "fg_idx": fg_idx,
             "fg_valid": fg_valid,
             "fg_locs": fg_locs,

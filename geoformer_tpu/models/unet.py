@@ -20,7 +20,6 @@ import jax.numpy as jnp
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
 from geoformer_tpu.ops.brick import (
     dense_subm_conv,
-    dense_subm_conv_banded,
     down_conv_bricks,
     from_dense,
     to_dense,
@@ -73,10 +72,9 @@ class _LevelCtx:
     def exit(self, x_rep):
         return from_dense(x_rep, self.brick) if self.brick is not None else x_rep
 
-    def conv(self, x_rep, w, compute_dtype=None, banded=False):
+    def conv(self, x_rep, w, compute_dtype=None):
         if self.brick is not None:
-            fn = dense_subm_conv_banded if banded else dense_subm_conv
-            return fn(x_rep, self.brick, w, compute_dtype=compute_dtype)
+            return dense_subm_conv(x_rep, self.brick, w, compute_dtype=compute_dtype)
         return apply_subm(x_rep, self.nbr, w, compute_dtype=compute_dtype)
 
 
@@ -86,7 +84,6 @@ class ResidualBlock(nn.Module):
     in_channels: int
     out_channels: int
     compute_dtype: object = None  # bf16 halves gather traffic, fp32 accum
-    banded: bool = False  # lane-packed band conv (brick mode only)
 
     @nn.compact
     def __call__(self, feats, ctx, train: bool):
@@ -99,17 +96,19 @@ class ResidualBlock(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (self.in_channels, self.out_channels),
             )
+            # keep the identity branch in the level's residency dtype
             identity = dense_1x1(
-                feats.reshape(feats.shape[0], -1, feats.shape[-1]), wi
-            ).reshape(feats.shape[:-1] + (self.out_channels,))
+                feats.reshape(feats.shape[0], -1, feats.shape[-1]),
+                wi.astype(feats.dtype),
+            ).astype(feats.dtype).reshape(feats.shape[:-1] + (self.out_channels,))
         x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv1", self.in_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype, banded=self.banded)
+                     compute_dtype=self.compute_dtype)
         x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv2", self.out_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype, banded=self.banded)
+                     compute_dtype=self.compute_dtype)
         x = x + identity
         return jnp.where(vmask[..., None], x, 0.0)
 
@@ -160,7 +159,6 @@ class UBlock(nn.Module):
     compute_dtype: object = None
     remat: bool = False
     rep_io: bool = False  # in/out are level-rep (dense bricks), not sparse
-    banded: bool = False  # lane-packed band convs (ops/brick.py)
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
@@ -187,7 +185,7 @@ class UBlock(nn.Module):
         x = feats if self.rep_io else ctx.enter(feats)
         for i in range(self.block_reps):
             cin = x.shape[-1] if i == 0 else c0
-            x = Block(cin, c0, self.compute_dtype, self.banded, name=f"block{i}")(x, ctx, train)
+            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, ctx, train)
 
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
@@ -212,7 +210,6 @@ class UBlock(nn.Module):
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 rep_io=native,
-                banded=self.banded,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -235,7 +232,7 @@ class UBlock(nn.Module):
             x = jnp.concatenate([identity, u], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
-                x = Block(cin, c0, self.compute_dtype, self.banded, name=f"block_tail{i}")(x, ctx, train)
+                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, ctx, train)
 
         if len(self.n_planes) <= 2 and self.use_backbone_transformer:
             d_model = 128
@@ -260,7 +257,6 @@ class SparseUNetBackbone(nn.Module):
     block_reps: int = 2
     compute_dtype: object = None
     remat: bool = False
-    banded: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -275,13 +271,16 @@ class SparseUNetBackbone(nn.Module):
             # brick-native: scatter to dense bricks ONCE, input conv and the
             # whole U recursion stay dense, gather back once at the end
             bp0 = plan.bricks[0]
+            if self.compute_dtype is not None:
+                # enter brick space already narrowed: halves the scatter
+                # traffic and every level buffer after it
+                voxel_feats = voxel_feats.astype(self.compute_dtype)
             xd = to_dense(voxel_feats, bp0)
-            conv_in = dense_subm_conv_banded if self.banded else dense_subm_conv
-            xd = conv_in(xd, bp0, w_in, compute_dtype=self.compute_dtype)
+            xd = dense_subm_conv(xd, bp0, w_in, compute_dtype=self.compute_dtype)
             xd = jnp.where(bp0.occ[..., None], xd, 0.0)
             xd = UBlock(planes, self.block_reps, True, level=0,
                         compute_dtype=self.compute_dtype, remat=self.remat,
-                        rep_io=True, banded=self.banded, name="unet")(xd, plan, train)
+                        rep_io=True, name="unet")(xd, plan, train)
             x = from_dense(xd, bp0)
         else:
             if plan.bricks:
@@ -294,11 +293,13 @@ class SparseUNetBackbone(nn.Module):
             x = jnp.where(vmask0[..., None], x, 0.0)
             x = UBlock(planes, self.block_reps, True, level=0,
                        compute_dtype=self.compute_dtype, remat=self.remat,
-                       banded=self.banded, name="unet")(x, plan, train)
+                       name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)
-        return x  # [B, V0, m]
+        # exit boundary: downstream heads (semantic, aggregator, decoder)
+        # run f32 regardless of the level residency dtype
+        return x.astype(jnp.float32)  # [B, V0, m]
 
 
 class SemanticHead(nn.Module):

@@ -168,8 +168,11 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
     if compute_dtype is not None:
         dense = dense.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    # bf16 mode: conv output stays bf16 (MXU still accumulates fp32
-    # internally); preferred_element_type=f32 with bf16 operands breaks the
+    # bf16 mode: conv output STAYS bf16 — levels are bf16-resident end to
+    # end (an astype(f32) here would round-trip every [NB,8,8,8,C] buffer
+    # through HBM at double width between every pair of convs; the dense
+    # chain is HBM-bound, BASELINE.md r3/r4). MXU still accumulates fp32
+    # internally; preferred_element_type=f32 with bf16 operands breaks the
     # conv transpose rule under grad (mismatched cotangent dtype)
     preferred = jnp.float32 if compute_dtype is None else None
     dense = jnp.where(plan.occ[..., None], dense, 0)
@@ -183,29 +186,9 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             precision=precision,
             preferred_element_type=preferred,
-        ).astype(jnp.float32)  # [NB, 8,8,8, Cout]
+        )  # [NB, 8,8,8, Cout] in the compute dtype
 
     return jax.vmap(scene)(dense, plan.nbr)
-
-
-def _banded_kernel(w: jax.Array) -> jax.Array:
-    """subm weights [27,Cin,Cout] -> block-banded 2D kernel [3,3,10*Cin,8*Cout].
-
-    In the lane-packed brick form the x axis folds into the channel dim:
-    input rows carry 10 x-blocks (x = -1..8, halo at j=0 and j=9), output
-    rows carry 8. Input block j contributes to output block i through the
-    tap dx = (j-1) - i, i.e. kernel x-index kx = j - i when 0 <= kx < 3;
-    everything else is zero. The (z, y) taps stay spatial (a 3x3 conv), so
-    the MXU sees one [*, 10C] @ [10C, 8C]-per-tap contraction instead of a
-    C-wide (tile-padded 128/C x wasteful) 3D conv."""
-    cin, cout = w.shape[1], w.shape[2]
-    w_r = w.reshape(3, 3, 3, cin, cout)
-    j = jnp.arange(10)[:, None, None]
-    i = jnp.arange(8)[None, :, None]
-    kx = jnp.arange(3)[None, None, :]
-    sel = (j - i == kx).astype(w.dtype)  # [10, 8, 3]
-    k2d = jnp.einsum("jix,zyxcd->zyjcid", sel, w_r)
-    return k2d.reshape(3, 3, 10 * cin, 8 * cout)
 
 
 def _halo_pad_axis(x, nbr, lo_slot, hi_slot, axis):
@@ -218,54 +201,6 @@ def _halo_pad_axis(x, nbr, lo_slot, hi_slot, axis):
     lo_face = lo_band[nbr[:, lo_slot]]
     hi_face = hi_band[nbr[:, hi_slot]]
     return jnp.concatenate([lo_face, x, hi_face], axis=axis)
-
-
-def dense_subm_conv_banded(dense: jax.Array, plan: BrickPlan, w: jax.Array,
-                           precision=None, compute_dtype=None) -> jax.Array:
-    """dense_subm_conv, lane-packed: identical output, MXU-shaped compute.
-
-    The straight NDHWC 3D conv leaves the channel dim (16..112 for m=16)
-    on lanes, wasting up to 8x of every (8,128) tile and running ~8x above
-    the HBM roofline (BASELINE.md round 3). Here each brick's x axis folds
-    into the lane dim — rows are [z, y, 10*C] with the x halo arriving as
-    lane blocks 0 and 9 — and the 3^3 conv becomes ONE 2D conv over (z,y)
-    with the block-banded kernel from _banded_kernel. Lanes are >= 8C wide
-    at every level, so small-C levels stop tile-padding; the band's zero
-    blocks cost ~3.3x the ideal FLOPs, which the MXU absorbs."""
-    cin, cout = w.shape[1], w.shape[2]
-    nb = plan.num_bricks
-    if compute_dtype is not None:
-        dense = dense.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    preferred = jnp.float32 if compute_dtype is None else None
-    dense = jnp.where(plan.occ[..., None], dense, 0)
-    kernel = _banded_kernel(w)
-
-    def scene(d, nbr):
-        packed = d.reshape(nb, BS, BS, BS * cin)  # x folds into lanes
-        zp = _halo_pad_axis(packed, nbr, _axis_offset_index(-1, 0, 0),
-                            _axis_offset_index(1, 0, 0), axis=1)
-        yp = _halo_pad_axis(zp, nbr, _axis_offset_index(0, -1, 0),
-                            _axis_offset_index(0, 1, 0), axis=2)
-        # x halo = lane-block concat: the x-lo neighbor's last x-block and
-        # the x-hi neighbor's first, from the already-zy-padded tensor
-        # (same separable-corner argument as _halo_pad_scene)
-        zero = jnp.zeros((1,) + yp.shape[1:], yp.dtype)
-        ypp = jnp.concatenate([yp, zero], axis=0)
-        lo = ypp[..., (BS - 1) * cin:][nbr[:, _axis_offset_index(0, 0, -1)]]
-        hi = ypp[..., :cin][nbr[:, _axis_offset_index(0, 0, 1)]]
-        padded = jnp.concatenate([lo, yp, hi], axis=-1)  # [NB,10,10,10*Cin]
-        out = jax.lax.conv_general_dilated(
-            padded, kernel,
-            window_strides=(1, 1),
-            padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=precision,
-            preferred_element_type=preferred,
-        ).astype(jnp.float32)  # [NB, 8, 8, 8*Cout]
-        return out.reshape(nb, BS, BS, BS, cout)
-
-    return jax.vmap(scene)(dense, plan.nbr)
 
 
 class BrickDownLink(NamedTuple):
@@ -379,6 +314,8 @@ def down_conv_bricks(dense: jax.Array, child_plan: BrickPlan, link: BrickDownLin
         w = w.astype(compute_dtype)
     dense = jnp.where(child_plan.occ[..., None], dense, 0)
     wm = w.reshape(8 * cin, cout)
+    # bf16 mode keeps the output bf16 (level residency; f32 MXU accum)
+    preferred = jnp.float32 if compute_dtype is None else None
 
     def scene(d, children):
         oc = _cells_to_octants(d)  # [NBc, 8, 4,4,4, Cin]
@@ -386,7 +323,7 @@ def down_conv_bricks(dense: jax.Array, child_plan: BrickPlan, link: BrickDownLin
         gm = oc.transpose(0, 2, 3, 4, 1, 5).reshape(nbc, 64, 8 * cin)
         q = jax.lax.dot_general(
             gm, wm, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+            preferred_element_type=preferred, precision=precision,
         ).reshape(nbc, 4, 4, 4, cout)
         qp = jnp.concatenate([q, jnp.zeros((1,) + q.shape[1:], q.dtype)], axis=0)
         return _assemble_bricks(qp[children])  # [NBp, 8,8,8, Cout]
@@ -409,6 +346,7 @@ def up_conv_bricks(parent_dense: jax.Array, link: BrickDownLink, w: jax.Array,
         parent_dense = parent_dense.astype(compute_dtype)
         w = w.astype(compute_dtype)
     wm = w.transpose(1, 0, 2).reshape(cin, 8 * cout)
+    preferred = jnp.float32 if compute_dtype is None else None
 
     def scene(pd, parent, octant):
         nbp = pd.shape[0]
@@ -421,7 +359,7 @@ def up_conv_bricks(parent_dense: jax.Array, link: BrickDownLink, w: jax.Array,
         nbc = g.shape[0]
         out = jax.lax.dot_general(
             g.reshape(nbc, 64, cin), wm, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
+            preferred_element_type=preferred, precision=precision,
         ).reshape(nbc, 4, 4, 4, 8, cout)
         return _octants_to_cells(out.transpose(0, 4, 1, 2, 3, 5))
 

@@ -81,8 +81,65 @@ def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024
     return jnp.where(found, cwin, cc)  # pad cell
 
 
+# 27 window slots ordered center-first (by squared cell-offset norm): the
+# per-cell compaction keeps the first `window` candidates in this order, so
+# an overflowing window drops the farthest cells' members first
+_WINDOW_ORDER = sorted(range(27), key=lambda i: sum(c * c for c in _WINDOW[i]))
+
+
+def _compact_cell_candidates(cell_pts, cell_xyz, cwin, cmask, p, window):
+    """Per-CELL candidate compaction: every point of a cell shares the same
+    27-cell window, so compacting the window's member lists to `window`
+    dense lanes once per cell — before any per-point work — shrinks the
+    per-point d2/top_k from 27*cell_cap lanes to `window` lanes. The
+    per-point stage then pays two row-gathers ([P, window] indices +
+    [P, window*3] flat-packed xyz) instead of 27 cell-row gathers per point.
+
+    Exact (identical candidate set) while a window holds <= `window` valid
+    members; beyond that candidates are kept ROUND-ROBIN across the 27
+    cells (member 0 of every cell center-first, then member 1, ...), so a
+    truncated window keeps edges in every direction — cell-sequential
+    truncation left only the center + one face cell's members, and the
+    resulting anisotropic graph broke geodesic propagation outright (AP 0
+    on the walled scene). n_window_pts counts the points whose candidate
+    window overflowed."""
+    cc, cap = cell_pts.shape
+    cwin = cwin[:, jnp.asarray(_WINDOW_ORDER, jnp.int32)]
+    cell_pts_pad = jnp.concatenate(
+        [cell_pts, jnp.full((1, cap), p, jnp.int32)], axis=0
+    )
+    cell_xyz_pad = jnp.concatenate(
+        [cell_xyz, jnp.zeros((1, cap * 3), cell_xyz.dtype)], axis=0
+    )
+    # [CC, 27, cap] -> r-major [CC, cap, 27]: flat slot q = r*27 + j
+    ncand = cell_pts_pad[cwin].transpose(0, 2, 1).reshape(cc, 27 * cap)
+    nxyz = (
+        cell_xyz_pad[cwin]
+        .reshape(cc, 27, cap, 3)
+        .transpose(0, 2, 1, 3)
+        .reshape(cc, 27 * cap * 3)
+    )
+    vm = ncand < p
+    rank = jnp.cumsum(vm.astype(jnp.int32), axis=1)
+    total = rank[:, -1]
+    targets = jnp.arange(1, window + 1, dtype=jnp.int32)
+    pos = jax.vmap(lambda r: jnp.searchsorted(r, targets, side="left"))(rank)
+    inb = targets[None, :] <= total[:, None]
+    pos = jnp.minimum(pos, 27 * cap - 1)
+    ccand = jnp.where(inb, jnp.take_along_axis(ncand, pos, axis=1), p)
+    pos3 = (pos[:, :, None] * 3 + jnp.arange(3, dtype=jnp.int32)).reshape(
+        cc, window * 3
+    )
+    cxyz = jnp.take_along_axis(nxyz, pos3, axis=1)
+    # points living in cells whose window lost candidates: their edge set
+    # may be non-nearest (degraded-but-bounded; callers surface the count)
+    cell_n = jnp.sum((cell_pts < p).astype(jnp.int32), axis=1)
+    n_window_pts = jnp.sum(jnp.where((total > window) & cmask, cell_n, 0))
+    return ccand, cxyz, n_window_pts
+
+
 def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
-                      cell_div=1, compact_width=0, with_stats=False):
+                      cell_div=1, window=0, with_stats=False):
     p = points.shape[0]
     # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
     # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
@@ -109,58 +166,67 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     cmask = grid.voxel_mask[0]
     cwin = window_lookup(cell_keys, n_cells, cc, ccoords, cmask, spatial)
 
-    # per-point candidate cells [P, 27] (one row-gather), then candidate
-    # points [P, 27*cap]
-    cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
-    cidx = cwin_pad[jnp.minimum(p2c, cc)]  # [P, 27]
-    cidx = jnp.where((p2c < cc)[:, None] & mask[:, None], cidx, cc)
-    cell_pts_pad = jnp.concatenate(
-        [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
-    )
-    cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
+    n_window_pts = jnp.zeros((), jnp.int32)
+    if window and window < 27 * cell_cap:
+        w_ = max(window, k)
+        ccand, cxyz, n_window_pts = _compact_cell_candidates(
+            cell_pts, cell_xyz, cwin, cmask, p, w_
+        )
+        ccand_pad = jnp.concatenate(
+            [ccand, jnp.full((1, w_), p, jnp.int32)], axis=0
+        )
+        cxyz_pad = jnp.concatenate(
+            [cxyz, jnp.zeros((1, w_ * 3), points.dtype)], axis=0
+        )
+        pc = jnp.minimum(p2c, cc)
+        cand = jnp.where(
+            (p2c < cc)[:, None] & mask[:, None], ccand_pad[pc], p
+        )  # [P, W]
+        cpos = cxyz_pad[pc]  # [P, W*3]
+        width = w_
+    else:
+        # full-width path (the exactness oracle): per-point candidate cells
+        # [P, 27] (one row-gather), then candidate points [P, 27*cap]
+        cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
+        cidx = cwin_pad[jnp.minimum(p2c, cc)]  # [P, 27]
+        cidx = jnp.where((p2c < cc)[:, None] & mask[:, None], cidx, cc)
+        cell_pts_pad = jnp.concatenate(
+            [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
+        )
+        cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
 
-    # candidate positions: flat-packed two-hop gather (build_cell_table
-    # packed each cell's member positions as [CC, cap*3] 2D rows — 524k
-    # point-rows total); hop 2 gathers whole cells per window slot as
-    # [P, 27] rows of cap*12 B. Measured 49 ms vs 114 ms for the
-    # per-candidate pointwise gather at fg=131072 (the pointwise form pays
-    # 27*cap point-row gathers per point); bit-identical output
-    # (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
-    cell_xyz_pad = jnp.concatenate(
-        [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
-    )
-    cpos = cell_xyz_pad[cidx].reshape(p, 27 * cell_cap * 3)  # [P, C*3]
-    tq = jnp.tile(points, (1, 27 * cell_cap))  # [P, C*3] (xyzxyz...)
+        # candidate positions: flat-packed two-hop gather (build_cell_table
+        # packed each cell's member positions as [CC, cap*3] 2D rows — 524k
+        # point-rows total); hop 2 gathers whole cells per window slot as
+        # [P, 27] rows of cap*12 B. Measured 49 ms vs 114 ms for the
+        # per-candidate pointwise gather at fg=131072 (the pointwise form pays
+        # 27*cap point-row gathers per point); bit-identical output
+        # (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
+        cell_xyz_pad = jnp.concatenate(
+            [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
+        )
+        cpos = cell_xyz_pad[cidx].reshape(p, 27 * cell_cap * 3)  # [P, C*3]
+        width = 27 * cell_cap
+
+    tq = jnp.tile(points, (1, width))  # [P, W*3] (xyzxyz...)
     diff2 = (cpos - tq) ** 2
     d2 = diff2[:, 0::3] + diff2[:, 1::3] + diff2[:, 2::3]
     bad = (cand >= p) | (cand == jnp.arange(p, dtype=jnp.int32)[:, None]) | (
         d2 > radius * radius
     ) | ~mask[:, None]
     d2 = jnp.where(bad, _BIG, d2)
+    if width < k:  # tiny cell_cap: pad the window so top_k(k) is legal
+        d2 = jnp.pad(d2, ((0, 0), (0, k - width)), constant_values=_BIG)
+        cand = jnp.pad(cand, ((0, 0), (0, k - width)), constant_values=p)
 
     if sort:
-        if compact_width and compact_width < d2.shape[1]:
-            # two-stage nearest-k: compact the in-radius candidates (at
-            # scan density ~10-30 of the 27*cap slots) to `compact_width`
-            # lanes first, then top_k on the narrow window — the bitonic
-            # top_k cost scales with lane width. Exact while the in-radius
-            # count <= compact_width; beyond that the k nearest of the
-            # first compact_width (candidate order) are kept.
-            ok = d2 < _BIG
-            rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
-            targets = jnp.arange(1, compact_width + 1, dtype=jnp.int32)
-            pos = jax.vmap(lambda r: jnp.searchsorted(r, targets, side="left"))(rank)
-            inb = targets[None, :] <= rank[:, -1:]
-            pos = jnp.minimum(pos, d2.shape[1] - 1)
-            d2 = jnp.where(inb, jnp.take_along_axis(d2, pos, axis=1), _BIG)
-            cand = jnp.take_along_axis(cand, pos, axis=1)
         neg_d, pos = jax.lax.top_k(-d2, k)  # k nearest within radius
         idx = jnp.take_along_axis(cand, pos, axis=1)
         d2k = -neg_d
         valid = d2k < _BIG
         idx = jnp.where(valid, idx, p)
         out = jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
-        return (*out, n_dropped) if with_stats else out
+        return (*out, n_dropped, n_window_pts) if with_stats else out
 
     # sort-free compaction: cumsum ranks + batched searchsorted pick the
     # first k in-radius candidates in candidate order — top_k over the
@@ -177,11 +243,11 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     idx = jnp.where(valid, jnp.take_along_axis(cand, pos, axis=1), p)
     d2k = jnp.where(valid, jnp.take_along_axis(d2, pos, axis=1), _BIG)
     out = d2k, idx.astype(jnp.int32)
-    return (*out, n_dropped) if with_stats else out
+    return (*out, n_dropped, n_window_pts) if with_stats else out
 
 
 def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
-               cell_div: int = 1, compact_width: int = 0,
+               cell_div: int = 1, window: int = 0,
                with_stats: bool = False):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
@@ -190,13 +256,18 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
 
     sort=True returns the K nearest ascending; sort=False compacts the
     first K in-radius candidates without the (expensive) top-k — identical
-    edge set whenever the in-radius count <= K. with_stats appends a [B]
-    int32 count of valid points dropped from the candidate table (cell-slot
-    or per-cell capacity overflow) — those points get no incoming edges.
+    edge set whenever the in-radius count <= K. window>0 compacts each
+    cell's 27-neighbor member lists to max(window, k) candidate lanes once
+    per CELL before the per-point d2/top_k (see _compact_cell_candidates);
+    exact while every window holds <= that many members. with_stats appends
+    two [B] int32 counters: points dropped from the candidate table
+    (cell-slot or per-cell capacity overflow — those points get no incoming
+    edges) and points whose candidate window overflowed `window` (their
+    edges may be non-nearest).
     """
     return jax.vmap(
         lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
                                         cell_div=cell_div,
-                                        compact_width=compact_width,
+                                        window=window,
                                         with_stats=with_stats)
     )(points, mask)

@@ -116,14 +116,28 @@ _DEFAULTS = dict(
     tpu_train_subsample=30000,  # mask-head training subsample (ref: 30k)
     tpu_max_instances=64,       # gt instance capacity per scene
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
-    tpu_radius_cell_cap=8,      # voxel-hash cell capacity for the radius graph
+    # voxel-hash cell capacity for the radius graph. 16 (with the window
+    # compaction below) replaces the r3 default 8, which dropped ~8.7% of
+    # fg points from the graph at prod density (BENCH_r03 dropped_points)
+    tpu_radius_cell_cap=16,
     tpu_radius_cell_div=2,      # cell-slot capacity divisor (1 = exact any input)
+    # per-cell candidate-window compaction for the radius kNN: compact each
+    # cell's 27-neighbor member lists to this many lanes (round-robin
+    # across cells, center-first) before the per-point d2/top_k (0 = full
+    # 27*cell_cap width). MEASURED LOSS on v5e at prod fg (window=64:
+    # 1195.7 ms vs 217.5 ms full width — the per-cell searchsorted/gather
+    # compaction machinery costs more than the wide top_k it saves,
+    # BASELINE.md r4) — default OFF; kept for exactness tests and future
+    # hardware where sort width dominates. Overflow surfaces as
+    # n_radius_window_overflow (AP floor table in BASELINE.md r4)
+    tpu_knn_window=0,
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
-    tpu_brick_banded=False,     # lane-packed banded brick convs (ops/brick.py)
-    tpu_ball_cell_cap=0,        # >0: voxel-hash ball query, cap pts/cell
-    tpu_knn_compact_width=0,    # >0: two-stage radius_knn nearest-k
                                 # (ops/brick.py; 0 = gather-rulebook path)
+    # voxel-hash ball query, cap pts/cell (0 = brute force). 32 measured
+    # the prod aggregator 454.5 -> 357.6 ms (-21%, ONCHIP_SUITE_r3); exact
+    # up to the cap, overflow counted + warned
+    tpu_ball_cell_cap=32,
     tpu_subm_k=27,              # live-packed subm conv slots (27 = exact/off;
     # the one-hot-routed compact path lowered to per-voxel tiny GEMMs and
     # measured SLOWER than the full 27-slot conv on v5e — keep off)

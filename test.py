@@ -135,7 +135,8 @@ def main():
             evaluator.assign_instances_for_scan(scene_name, pred_info, gt_ids)
             if (int(vs["n_overflow_points"][j]) or int(vs["n_oor_points"][j])
                     or bool(vs["saturated"][j])
-                    or int(vs["n_radius_cell_overflow"][j])):
+                    or int(vs["n_radius_cell_overflow"][j])
+                    or int(vs["n_radius_window_overflow"][j])):
                 logger.warning(
                     f"{scene_name}: voxel capacity degraded — "
                     f"{int(vs['n_overflow_points'][j])} points over voxel capacity, "
@@ -143,9 +144,11 @@ def main():
                     f"saturated={bool(vs['saturated'][j])} "
                     f"({int(vs['n_voxels'][j])}/{int(vs['capacity'][j])} voxels), "
                     f"{int(vs['n_radius_cell_overflow'][j])} fg points dropped from "
-                    f"the geodesic graph (radius-cell capacity); "
+                    f"the geodesic graph (radius-cell capacity), "
+                    f"{int(vs['n_radius_window_overflow'][j])} with an overflowed "
+                    f"kNN candidate window (non-nearest edges); "
                     f"raise TPU.tpu_max_voxels / tpu_spatial_shape / "
-                    f"lower tpu_radius_cell_div"
+                    f"tpu_knn_window / lower tpu_radius_cell_div"
                 )
             if save_dir is not None:
                 if cfg.save_instance:

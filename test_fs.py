@@ -170,14 +170,16 @@ def main():
         vs = jax.device_get(cache["voxel_stats"])
         if (int(vs["n_overflow_points"][0]) or int(vs["n_oor_points"][0])
                 or bool(vs["saturated"][0])
-                or int(vs["n_radius_cell_overflow"][0])):
+                or int(vs["n_radius_cell_overflow"][0])
+                or int(vs["n_radius_window_overflow"][0])):
             logger.warning(
                 f"{scene_name}: voxel capacity degraded — "
                 f"{int(vs['n_overflow_points'][0])} overflow, "
                 f"{int(vs['n_oor_points'][0])} out-of-range points, "
                 f"saturated={bool(vs['saturated'][0])}, "
                 f"{int(vs['n_radius_cell_overflow'][0])} geodesic-graph "
-                f"drops; raise TPU caps"
+                f"drops, {int(vs['n_radius_window_overflow'][0])} kNN-window "
+                f"overflows; raise TPU caps"
             )
         # raw-resolution mask projection (masks are scored at full N,
         # like reference test_fs.py:176-231 — never against a

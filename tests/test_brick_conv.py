@@ -92,38 +92,10 @@ def test_brick_conv_batched_and_identity_weight():
     )
 
 
-@pytest.mark.parametrize("spatial,cin,cout", [(32, 5, 7), (64, 16, 16), (32, 16, 32)])
-def test_banded_conv_matches_dense(spatial, cin, cout):
-    """dense_subm_conv_banded (lane-packed 2D band conv) == dense_subm_conv
-    at every occupied voxel — the x halo arrives as lane blocks, so brick
-    corners/edges are the risk surface; surface coords exercise them."""
-    from geoformer_tpu.ops.brick import dense_subm_conv, dense_subm_conv_banded
-
-    rng = np.random.default_rng(8)
-    P, V = 600, 512
-    coords = make_surface_coords(rng, P, spatial)
-    mask = np.ones(P, bool)
-    mask[550:] = False
-    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), V, spatial)
-    plan = build_brick_plan(grid, spatial, num_bricks=256)
-    assert int(plan.n_overflow[0]) == 0
-
-    feats = jnp.asarray(rng.normal(size=(1, V, cin)).astype(np.float32))
-    feats = jnp.where(jnp.asarray(grid.voxel_mask)[..., None], feats, 0.0)
-    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
-
-    dense = to_dense(feats, plan)
-    ref = from_dense(dense_subm_conv(dense, plan, w), plan)
-    got = from_dense(dense_subm_conv_banded(dense, plan, w), plan)
-    vm = np.asarray(grid.voxel_mask[0])
-    np.testing.assert_allclose(
-        np.asarray(got[0])[vm], np.asarray(ref[0])[vm], rtol=1e-4, atol=1e-4
-    )
-
-
-def test_banded_conv_grad_and_bf16():
-    """Banded conv: grads flow to w; bf16 compute path runs and tracks fp32."""
-    from geoformer_tpu.ops.brick import dense_subm_conv_banded
+def test_dense_conv_grad_and_bf16():
+    """Dense brick conv: grads flow to w; bf16 compute path runs and
+    tracks fp32 (fp32 MXU accumulation keeps the gap small)."""
+    from geoformer_tpu.ops.brick import dense_subm_conv
 
     rng = np.random.default_rng(9)
     spatial, P, V, c = 32, 400, 256, 8
@@ -137,8 +109,9 @@ def test_banded_conv_grad_and_bf16():
     dense = to_dense(feats, plan)
 
     def loss(w, dtype=None):
-        out = dense_subm_conv_banded(dense, plan, w, compute_dtype=dtype)
-        return jnp.sum(jnp.where(plan.occ[..., None], out, 0.0) ** 2)
+        out = dense_subm_conv(dense, plan, w, compute_dtype=dtype)
+        return jnp.sum(jnp.where(plan.occ[..., None],
+                                 out.astype(jnp.float32), 0.0) ** 2)
 
     g = jax.grad(loss)(w)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
@@ -256,8 +229,11 @@ def test_backbone_brick_native_matches_rulebook():
                                rtol=2e-3, atol=2e-4)
 
 
-def test_backbone_banded_matches_rulebook():
-    """SparseUNetBackbone(banded=True) == rulebook mode on the same params."""
+def test_backbone_bf16_tracks_f32():
+    """SparseUNetBackbone in bf16-resident brick mode tracks the f32 result
+    on the same params — the levels stay bf16 end-to-end (conv outputs are
+    NOT round-tripped to f32 between blocks), so this gates the numeric
+    drift of the production bf16 configuration."""
     from geoformer_tpu.models.unet import SparseUNetBackbone
 
     rng = np.random.default_rng(10)
@@ -266,20 +242,23 @@ def test_backbone_banded_matches_rulebook():
     mask = np.ones(P, bool)
     caps = voxel_capacities(512, depth, 0.5)
     cj, mj = jnp.asarray(coords[None]), jnp.asarray(mask[None])
-    plan_rb = build_grid_plan(cj, mj, spatial, depth, caps)
     plan_bk = build_grid_plan(cj, mj, spatial, depth, caps, brick_occupancy=8)
 
     v0 = caps[0]
     feats = jnp.asarray(rng.normal(size=(1, v0, 6)).astype(np.float32))
-    feats = jnp.where(jnp.asarray(plan_rb.grids[0].voxel_mask)[..., None], feats, 0.0)
+    feats = jnp.where(jnp.asarray(plan_bk.grids[0].voxel_mask)[..., None], feats, 0.0)
     ref_model = SparseUNetBackbone(m=8, classes=4, depth=depth)
-    params = ref_model.init(jax.random.PRNGKey(0), feats, plan_rb, False)
-    ref = ref_model.apply(params, feats, plan_rb, False)
-    got = SparseUNetBackbone(m=8, classes=4, depth=depth, banded=True).apply(
+    params = ref_model.init(jax.random.PRNGKey(0), feats, plan_bk, False)
+    ref = ref_model.apply(params, feats, plan_bk, False)
+    got = SparseUNetBackbone(m=8, classes=4, depth=depth,
+                             compute_dtype=jnp.bfloat16).apply(
         params, feats, plan_bk, False)
-    vm = np.asarray(plan_rb.grids[0].voxel_mask[0])
-    np.testing.assert_allclose(np.asarray(got[0])[vm], np.asarray(ref[0])[vm],
-                               rtol=2e-3, atol=2e-4)
+    assert got.dtype == jnp.float32  # the exit boundary restores f32
+    vm = np.asarray(plan_bk.grids[0].voxel_mask[0])
+    r, g = np.asarray(ref[0])[vm], np.asarray(got[0])[vm]
+    # bf16 has ~3 decimal digits; post-BN features are O(1)
+    np.testing.assert_allclose(g, r, rtol=0.1, atol=0.08)
+    assert np.abs(g - r).mean() < 0.02
 
 
 def test_grid_plan_brick_mode_skips_rulebooks():

@@ -58,7 +58,8 @@ def make_walled_scene(seed=0, spacing=0.02):
     return all_pts, inst
 
 
-def _ap_for_solver(hier: bool, fine_k=None):
+def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
+                   window=0, report_drops=False):
     pts, inst = make_walled_scene()
     f = pts.shape[0]
     mask = np.ones(f, bool)
@@ -66,8 +67,9 @@ def _ap_for_solver(hier: bool, fine_k=None):
     # K must exceed the typical in-radius neighbor count, or the pull-based
     # relaxation loses in-edges to dense spots (symmetrize=False contract —
     # production K=64 covers 2 cm scan density the same way)
-    d2, nbr_i = radius_knn(
-        jnp.asarray(pts[None]), jnp.asarray(mask[None]), radius, 32, cell_cap=16
+    d2, nbr_i, n_drop, n_wovf = radius_knn(
+        jnp.asarray(pts[None]), jnp.asarray(mask[None]), radius, 32,
+        cell_cap=cell_cap, window=window, with_stats=True,
     )
     nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
 
@@ -83,8 +85,8 @@ def _ap_for_solver(hier: bool, fine_k=None):
     if hier:
         geo = geodesic_distance_hier(
             nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
-            64, jnp.asarray(pts[None]), fine_sweeps=6, cell_factor=2.0,
-            fine_k=fine_k,
+            64, jnp.asarray(pts[None]), fine_sweeps=fine_sweeps,
+            cell_factor=2.0, fine_k=fine_k,
         )
     else:
         geo = geodesic_distance(
@@ -111,6 +113,9 @@ def _ap_for_solver(hier: bool, fine_k=None):
     ev = ScanNetEval(cvfold=0)
     ev.assign_instances_for_scan("walled", pred_info, gt_ids)
     a = ev.compute_averages()
+    if report_drops:
+        return (a["all_ap_50%"], a["all_ap_25%"],
+                int(n_drop[0]), int(n_wovf[0]), f)
     return a["all_ap_50%"], a["all_ap_25%"]
 
 
@@ -127,9 +132,58 @@ def test_hier_geodesic_ap_within_bound():
 
 @pytest.mark.slow
 def test_hier_fine_k_ap_within_bound():
-    """The production config restricts fine smoothing to the nearest 16
-    edges (tpu_geodesic_fine_k) — same AP bound must hold."""
+    """The SHIPPED production configuration — fine_k=16, fine_sweeps=4
+    (tpu_geodesic_fine_k / tpu_geodesic_fine_sweeps defaults) — must hold
+    the same AP bound CI gates the exact-vs-hier comparison with."""
+    from geoformer_tpu.models.geoformer import ModelConfig
+    from geoformer_tpu.utils.config import load_config
+
+    mc = ModelConfig.from_cfg(load_config(None))
+    assert mc.geodesic_fine_k == 16 and mc.geodesic_fine_sweeps == 4, (
+        "shipped geodesic defaults moved — update this gate to match"
+    )
     ap50_exact, ap25_exact = _ap_for_solver(hier=False)
-    ap50_k, ap25_k = _ap_for_solver(hier=True, fine_k=16)
+    ap50_k, ap25_k = _ap_for_solver(
+        hier=True, fine_k=mc.geodesic_fine_k,
+        fine_sweeps=mc.geodesic_fine_sweeps)
     assert ap50_k >= ap50_exact - 0.05
     assert ap25_k >= ap25_exact - 0.05
+
+
+@pytest.mark.slow
+def test_forced_graph_drops_ap_measured():
+    """Price the radius-cell drop contract: force a ~10% drop rate
+    (cell_cap=7 on this scene) and pin the MEASURED AP cost. It is NOT
+    graceful: drops cluster in the densest cells, which are the instance
+    blobs themselves, so a dropped seed/centroid region loses its whole
+    geodesic column — AP50 halves (one of two instances lost) at every
+    tested rate from 5% to 84% (BASELINE.md r4 table). This is exactly why
+    the counters exist and why shipped capacities must report ZERO drops
+    (the companion exact tests + BENCH dropped_points=0 gate that)."""
+    ap50, ap25, n_drop, _, f = _ap_for_solver(
+        hier=True, fine_k=16, fine_sweeps=4, cell_cap=7, report_drops=True)
+    rate = n_drop / f
+    assert 0.05 <= rate <= 0.15, f"drop rate {rate:.3f} missed the target band"
+    # measured degradation: the sparser instance survives, the denser one
+    # (where the cap binds) is lost — pin it so the contract stays honest
+    assert abs(ap50 - 0.5) < 1e-6, f"AP50 {ap50} at {rate:.1%} graph drops"
+    assert abs(ap25 - 0.5) < 1e-6, f"AP25 {ap25} at {rate:.1%} graph drops"
+
+
+@pytest.mark.slow
+def test_window_overflow_ap_floor():
+    """Contract for the kNN candidate-window compaction under extreme
+    overflow: window=20 on this scene overflows ~99% of points (windows
+    hold 50-150 members), yet the round-robin cell interleave keeps the
+    graph isotropic and AP50 holds at 0.5 (the denser instance degrades,
+    same floor as the hard-drop table in BASELINE.md r4). The pre-fix
+    cell-sequential truncation scored AP 0.0 — all edges pointed into one
+    face cell and geodesic propagation died; this is the regression pin.
+    The SHIPPED window (128) overflows ~1% at bench density with no AP
+    effect (test_radius_knn_window_exact covers the exact regime)."""
+    ap50, ap25, n_drop, n_wovf, f = _ap_for_solver(
+        hier=True, fine_k=16, fine_sweeps=4, cell_cap=16, window=20,
+        report_drops=True)
+    assert n_wovf > 0.9 * f  # the forced window binds almost everywhere
+    assert ap50 >= 0.5, f"AP50 {ap50} with {n_wovf}/{f} window overflows"
+    assert ap25 >= 0.5

@@ -136,9 +136,11 @@ def test_geodesic_solve_runs_sharded():
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
     with jax.sharding.set_mesh(mesh):
-        geo, graph_ovf = jax.jit(geo_only)(variables, shard_batch(batch, mesh), k2)
+        geo, graph_ovf, graph_wovf = jax.jit(geo_only)(
+            variables, shard_batch(batch, mesh), k2)
     jax.block_until_ready(geo)
     assert int(np.sum(np.asarray(graph_ovf))) == 0  # tiny scenes: no drops
+    assert int(np.sum(np.asarray(graph_wovf))) == 0
     expect = NamedSharding(mesh, P("data", None, "model"))
     assert geo.sharding.is_equivalent_to(expect, geo.ndim), (
         f"geodesic table sharding {geo.sharding} != {expect}"

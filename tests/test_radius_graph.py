@@ -43,10 +43,10 @@ def test_radius_knn_matches_brute_force():
     assert (got_i[280:] == p).all()
 
 
-def test_radius_knn_compact_width_exact():
-    """compact_width two-stage top-k == plain sorted path (ascending
-    nearest-k, same ids/distances) when the width covers the in-radius
-    counts."""
+def test_radius_knn_window_exact():
+    """Per-cell window compaction (window>0) == the full-width path
+    (ascending nearest-k, same ids/distances) when every 27-cell window
+    holds <= window members — and the overflow counter reports 0."""
     rng = np.random.default_rng(3)
     p, k, r = 500, 8, 0.1
     pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
@@ -55,10 +55,36 @@ def test_radius_knn_compact_width_exact():
     mask[480:] = False
     ref_d, ref_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
                               r, k, cell_cap=32)
-    got_d, got_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
-                              r, k, cell_cap=32, compact_width=64)
+    got_d, got_i, ovf, wovf = radius_knn(
+        jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+        r, k, cell_cap=32, window=256, with_stats=True)
+    assert int(ovf[0]) == 0 and int(wovf[0]) == 0
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_radius_knn_window_overflow_counted_and_bounded():
+    """A window too small for the local density: the counter reports the
+    points whose candidate window overflowed, and every returned edge is
+    still a real in-radius neighbor (degraded = fewer/non-nearest edges,
+    never wrong ones)."""
+    rng = np.random.default_rng(7)
+    p, k, r = 300, 8, 0.2
+    pts = rng.uniform(0, 0.3, size=(p, 3)).astype(np.float32)  # dense blob
+    mask = np.ones(p, bool)
+    got_d, got_i, ovf, wovf = radius_knn(
+        jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+        r, k, cell_cap=64, window=16, with_stats=True)
+    assert int(wovf[0]) > 0  # the blob's windows exceed 16 members
+    got_d, got_i = np.asarray(got_d[0]), np.asarray(got_i[0])
+    live = got_d < 1e30
+    assert live.any()
+    qi = np.broadcast_to(np.arange(p)[:, None], got_i.shape)
+    d_true = ((pts[np.minimum(got_i, p - 1)] - pts[qi]) ** 2).sum(-1)
+    assert (got_i[live] < p).all()
+    assert (got_i[live] != qi[live]).all()
+    np.testing.assert_allclose(got_d[live], d_true[live], rtol=1e-4)
+    assert (got_d[live] <= r * r + 1e-6).all()
 
 
 def test_radius_knn_dense_cluster_cap():
@@ -96,16 +122,16 @@ def test_radius_knn_with_stats_counts_drops():
     pts = rng.uniform(0, 1, size=(p, 3)).astype(np.float32)
     mask = np.ones(p, bool)
     mask[250:] = False
-    _, _, ovf = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
-                           cell_cap=16, with_stats=True)
+    _, _, ovf, _ = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]), r, k,
+                              cell_cap=16, with_stats=True)
     assert int(ovf[0]) == 0
 
     # per-cell capacity binds: 40 coincident points, cap 8 -> 32 dropped
     pts2 = np.full((40, 3), 0.5, np.float32) + rng.normal(
         0, 1e-4, size=(40, 3)).astype(np.float32)
     mask2 = np.ones(40, bool)
-    _, _, ovf2 = radius_knn(jnp.asarray(pts2[None]), jnp.asarray(mask2[None]), r, k,
-                            cell_cap=8, with_stats=True)
+    _, _, ovf2, _ = radius_knn(jnp.asarray(pts2[None]), jnp.asarray(mask2[None]), r, k,
+                               cell_cap=8, with_stats=True)
     assert int(ovf2[0]) == 32
 
     # cell-slot capacity binds: 64 points isolated beyond the radius
@@ -113,8 +139,8 @@ def test_radius_knn_with_stats_counts_drops():
     pts3 = (np.arange(64, dtype=np.float32)[:, None] * np.asarray(
         [[3 * r, 0, 0]], np.float32))
     mask3 = np.ones(64, bool)
-    _, _, ovf3 = radius_knn(jnp.asarray(pts3[None]), jnp.asarray(mask3[None]), r, k,
-                            cell_cap=8, cell_div=4, with_stats=True)
+    _, _, ovf3, _ = radius_knn(jnp.asarray(pts3[None]), jnp.asarray(mask3[None]), r, k,
+                               cell_cap=8, cell_div=4, with_stats=True)
     assert int(ovf3[0]) == 64 - 16
 
 

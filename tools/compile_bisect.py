@@ -33,12 +33,12 @@ def main():
                     help="override tpu_brick_occupancy (0 = rulebook path)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute in the conv path (fp32 accum)")
-    ap.add_argument("--banded", action="store_true",
-                    help="lane-packed banded brick convs (tpu_brick_banded)")
-    ap.add_argument("--ball_cell_cap", type=int, default=0,
-                    help=">0: voxel-hash ball query (tpu_ball_cell_cap)")
-    ap.add_argument("--knn_compact", type=int, default=0,
-                    help=">0: two-stage radius_knn (tpu_knn_compact_width)")
+    ap.add_argument("--ball_cell_cap", type=int, default=None,
+                    help="override tpu_ball_cell_cap (0 = brute force)")
+    ap.add_argument("--knn_window", type=int, default=None,
+                    help="override tpu_knn_window (0 = full width)")
+    ap.add_argument("--radius_cell_cap", type=int, default=None,
+                    help="override tpu_radius_cell_cap")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -62,9 +62,9 @@ def main():
         tpu_ball_nsample=64,
         **({} if args.brick_occupancy is None else {"tpu_brick_occupancy": args.brick_occupancy}),
         **({"tpu_bf16": True} if args.bf16 else {}),
-        **({"tpu_brick_banded": True} if args.banded else {}),
-        **({"tpu_ball_cell_cap": args.ball_cell_cap} if args.ball_cell_cap else {}),
-        **({"tpu_knn_compact_width": args.knn_compact} if args.knn_compact else {}),
+        **({} if args.ball_cell_cap is None else {"tpu_ball_cell_cap": args.ball_cell_cap}),
+        **({} if args.knn_window is None else {"tpu_knn_window": args.knn_window}),
+        **({} if args.radius_cell_cap is None else {"tpu_radius_cell_cap": args.radius_cell_cap}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--knn", type=int, default=64)
     ap.add_argument("--radius", type=float, default=0.05)
     ap.add_argument("--cell_cap", type=int, default=8)
+    ap.add_argument("--cell_div", type=int, default=2)
+    ap.add_argument("--window", type=int, default=64,
+                    help="per-cell candidate compaction width (tpu_knn_window)")
     ap.add_argument("--fine_sweeps", type=int, default=6)
     ap.add_argument("--fine_k", type=int, default=16)
     ap.add_argument("--k_sub", type=int, default=16)
@@ -104,25 +107,29 @@ def main():
     print(f"device={jax.devices()[0]} fg={f} q={q} knn={args.knn}", flush=True)
 
     want = args.stages.split(",") if args.stages != "all" else [
-        "knn_sorted", "knn_parts", "contract", "coarse", "fine", "hier",
+        "knn_sorted", "knn_window", "knn_parts", "contract", "coarse", "fine",
+        "hier",
     ]
 
     knn = jax.jit(functools.partial(
-        radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap))
+        radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
+        cell_div=args.cell_div))
     d2, nbr = knn(pts, mask)
     nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))
 
     if "knn_sorted" in want:
         timed(knn, pts, mask, label="radius_knn sort=True")
-    if "knn_compact" in want:
-        knn_c = jax.jit(functools.partial(
+    if "knn_window" in want:
+        knn_w = jax.jit(functools.partial(
             radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
-            compact_width=64))
-        timed(knn_c, pts, mask, label="radius_knn compact=64")
+            cell_div=args.cell_div, window=args.window, with_stats=True))
+        _, _, ovf, wovf = timed(knn_w, pts, mask,
+                                label=f"radius_knn window={args.window}")
+        print(f"  drops={int(ovf[0])} window_ovf_pts={int(wovf[0])}", flush=True)
     if "knn_unsorted" in want:
         knn_u = jax.jit(functools.partial(
             radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
-            sort=False))
+            cell_div=args.cell_div, sort=False))
         timed(knn_u, pts, mask, label="radius_knn sort=False")
 
     if "knn_parts" in want:

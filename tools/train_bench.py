@@ -10,6 +10,7 @@ reference trains batch 16 over 4 GPUs (train.py:101-141, DDP) — pass
 --batch_size/--mesh to match multi-chip setups.
 
 Usage: python tools/train_bench.py [--batch_size 1] [--steps 5] [--prepare]
+       [--fs]  (episodic few-shot step: support encode + FS criterion)
 """
 
 from __future__ import annotations
@@ -36,6 +37,9 @@ def main():
     ap.add_argument("--brick_occupancy", type=int, default=64)
     ap.add_argument("--prepare", action="store_true",
                     help="semantic-only phase (epoch <= prepare_epochs)")
+    ap.add_argument("--fs", action="store_true",
+                    help="episodic few-shot train step (GeoFormerFS + "
+                         "FSInstSetCriterion; ref train_fs.py bs=8)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="devices for a (data[,model]) mesh (0 = no mesh)")
     args = ap.parse_args()
@@ -74,27 +78,46 @@ def main():
         mesh = make_mesh(args.mesh, model_parallel=mp)
         print(f"mesh: data{args.mesh // mp} x model{mp}")
 
-    engine = Engine(cfg, few_shot=False, mesh=mesh)
+    import jax.numpy as jnp
+
+    def make_support(bs, seed):
+        # episodic support scene: same synthetic generator + a support mask
+        # over a spatial blob (the reference's support is a masked crop of
+        # a scene containing the class, datasets/scannetv2_fs_inst.py)
+        sup = dict(_synthetic_batch(cfg, bs, seed=seed + 10_000))
+        pts = np.asarray(sup["points"])
+        center = pts.mean(axis=1, keepdims=True)
+        r2 = ((pts - center) ** 2).sum(-1)
+        thresh = np.quantile(r2, 0.2, axis=1, keepdims=True)
+        sup["support_masks"] = jnp.asarray(r2 <= thresh)
+        return sup
+
+    engine = Engine(cfg, few_shot=args.fs, mesh=mesh)
     batch = _synthetic_batch(cfg, args.batch_size, seed=0)
+    support = make_support(args.batch_size, 0) if args.fs else None
     print(f"device={jax.devices()[0]} B={args.batch_size} "
           f"points={args.points} subsample={args.subsample} "
-          f"phase={'prepare' if args.prepare else 'full'}", flush=True)
+          f"phase={'fs-episodic' if args.fs else ('prepare' if args.prepare else 'full')}",
+          flush=True)
 
-    state = engine.init_state(batch, seed=0)
+    state = engine.init_state(batch, seed=0, example_support=support)
     rng = jax.random.PRNGKey(0)
     epoch = 1 if args.prepare else cfg.prepare_epochs + 1
 
     t0 = time.perf_counter()
-    state, loss, loss_dict, lr = engine.train_step(state, batch, epoch=epoch, rng=rng)
+    state, loss, loss_dict, lr = engine.train_step(
+        state, batch, epoch=epoch, rng=rng, support=support)
     print(f"compile+1st: {time.perf_counter() - t0:.1f}s loss={float(loss):.4f}",
           flush=True)
 
     ts = []
     for i in range(args.steps):
         batch_i = _synthetic_batch(cfg, args.batch_size, seed=i + 1)
+        support_i = make_support(args.batch_size, i + 1) if args.fs else None
         t0 = time.perf_counter()
         state, loss, loss_dict, lr = engine.train_step(
-            state, batch_i, epoch=epoch, rng=jax.random.fold_in(rng, i)
+            state, batch_i, epoch=epoch, rng=jax.random.fold_in(rng, i),
+            support=support_i,
         )
         _ = float(loss)  # D2H observes completion on the tunnel backend
         ts.append(time.perf_counter() - t0)
@@ -103,6 +126,24 @@ def main():
     p50 = float(np.median(ts))
     sps = args.batch_size / p50
     print(f"p50 step: {p50 * 1000:.1f}ms  scenes/s: {sps:.2f}", flush=True)
+
+    # per-device compiled memory accounting, where the backend exposes it
+    try:
+        from geoformer_tpu.parallel.mesh import shard_batch
+
+        key = ((not args.fs) and args.prepare, 0 if args.prepare else cfg.prepare_epochs + 1)
+        key = (key[0] and not args.fs, key[1])
+        step = engine._train_steps[key]
+        sb = shard_batch(batch, engine.mesh)
+        ss = shard_batch(support, engine.mesh) if args.fs else None
+        with jax.sharding.set_mesh(engine.mesh):
+            ma = step.lower(state, sb, ss, rng, 1e-3).compile().memory_analysis()
+        if ma is not None:
+            print(f"compiled per-device: temp={ma.temp_size_in_bytes / 1e6:.1f}MB "
+                  f"args={ma.argument_size_in_bytes / 1e6:.1f}MB "
+                  f"output={ma.output_size_in_bytes / 1e6:.1f}MB", flush=True)
+    except Exception as e:
+        print(f"memory analysis unavailable: {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":
