@@ -86,7 +86,7 @@ def _cache_entries() -> int:
         return 0
 
 
-def measure(scale: str):
+def measure(scale: str, batch_size: int = 1):
     import jax
 
     from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
@@ -97,10 +97,14 @@ def measure(scale: str):
     from geoformer_tpu.utils.config import load_config
     from __graft_entry__ import _synthetic_batch
 
-    cfg = load_config(None, batch_size=1, tpu_max_instances=64, **SCALES[scale])
+    cfg = load_config(None, batch_size=batch_size, tpu_max_instances=64,
+                      **SCALES[scale])
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
-    batch = _synthetic_batch(cfg, 1, seed=0)
+    # B > 1 amortizes the pipeline's fixed per-op overheads (sorts, gathers,
+    # table builds at [B*...] rows) — the production eval path already
+    # dispatches batched (test.py test_batch_size); value stays per-scene
+    batch = _synthetic_batch(cfg, batch_size, seed=0)
 
     k = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(k, 3)
@@ -160,7 +164,7 @@ def measure(scale: str):
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.median(times))
-    scenes_per_sec = 1.0 / p50
+    scenes_per_sec = batch_size / p50
     vs_baseline = (
         round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 4)
         if REFERENCE_SCENES_PER_SEC
@@ -176,6 +180,7 @@ def measure(scale: str):
                 "baseline": "unmeasured (no ref ckpt/GPU here; see BASELINE.md)",
                 "vs_derived_bound": round(scenes_per_sec / DERIVED_REFERENCE_RATE, 4),
                 "p50_latency_s": round(p50, 4),
+                "batch_size": batch_size,
                 "compile_s": round(compile_s, 1),
                 "scale": scale,
                 "points": int(cfg.tpu_max_points),
@@ -217,17 +222,19 @@ def _tunnel_up(env, here) -> bool:
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--_worker":
-        measure(sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[1] == "--_worker":
+        measure(sys.argv[2], int(sys.argv[3]))
         return
+    args = dict(zip(sys.argv[1::2], sys.argv[2::2]))  # --scale X --batch N
+    batch_size = int(args.get("--batch", 1))
     here = os.path.dirname(os.path.abspath(__file__))
     # APPEND to PYTHONPATH: the axon TPU plugin is found via PYTHONPATH and
     # overwriting it silently falls back to CPU
     prev = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ, PYTHONPATH=f"{here}:{prev}" if prev else here)
     chain = ("full", "half", "small")
-    if len(sys.argv) > 2 and sys.argv[1] == "--scale":
-        chain = (sys.argv[2],)
+    if "--scale" in args:
+        chain = (args["--scale"],)
     timeouts = dict(TIMEOUTS)
     if not _tunnel_up(env, here):
         # Honest degraded mode: measure on the host CPU at small scale and
@@ -248,8 +255,10 @@ def main():
     for scale in chain:
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_worker", scale],
-                timeout=timeouts[scale], capture_output=True, text=True, env=env,
+                [sys.executable, os.path.abspath(__file__), "--_worker", scale,
+                 str(batch_size)],
+                timeout=timeouts[scale] * (1 + (batch_size > 1)),
+                capture_output=True, text=True, env=env,
                 cwd=here,
             )
         except subprocess.TimeoutExpired:

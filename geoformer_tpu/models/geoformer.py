@@ -66,7 +66,7 @@ class ModelConfig:
     train_subsample: int = 30000
     knn_neighbors: int = 64
     geodesic_radius: float = 0.05
-    radius_cell_cap: int = 8
+    radius_cell_cap: int = 24  # keep in sync with utils/config.py
     # radius-graph cell-slot capacity divisor (ops/radius_graph.py): fg
     # points are dense scan surfaces (>= ~3 points per radius cell), so
     # F // 2 cell slots never bind and the per-cell window lookup sort
@@ -86,6 +86,7 @@ class ModelConfig:
     geodesic_fine_k: int = 16
     geodesic_k_sub: int = 16
     geodesic_cell_factor: float = 2.0
+    geodesic_coarse_eps: float = 0.0  # coarse fixpoint exit slack (meters)
     ball_radius: float = 0.2
     # >0: voxel-hash ball query bounded to the 3^3 cell window (exact up to
     # this many points per radius-cell) instead of brute-force [K,P] tiles.
@@ -168,6 +169,7 @@ class ModelConfig:
             geodesic_fine_k=cfg.tpu_geodesic_fine_k,
             geodesic_k_sub=cfg.tpu_geodesic_k_sub,
             geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
+            geodesic_coarse_eps=cfg.tpu_geodesic_coarse_eps,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
             ball_cell_cap=cfg.tpu_ball_cell_cap,
@@ -456,6 +458,7 @@ class GeoFormerBase(nn.Module):
                     cell_factor=mc.geodesic_cell_factor,
                     k_sub=mc.geodesic_k_sub,
                     fine_k=mc.geodesic_fine_k or None,
+                    coarse_eps=mc.geodesic_coarse_eps,
                 ), graph_ovf, graph_wovf  # [B, F, Q], [B], [B]
             # symmetrize=False: the radius-kNN graph is symmetric up to the
             # K cap, so the reverse-edge table would double relaxation

@@ -395,7 +395,7 @@ def _coarse_contract(positions, point_mask, nb, w, cell, c_cap, kc, k_sub):
 
 
 def _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, dist, n_steps,
-                       n_live, return_iters=False):
+                       n_live, return_iters=False, eps=0.0):
     """Coarse fixpoint via fast sweeping over 4 alternating lexicographic
     orderings (each run as a forward+backward pass-pair, covering all 8
     directional sign combinations). A single zyx ordering needs ~O(number
@@ -449,7 +449,11 @@ def _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, dist, n_steps,
             nb2, w2 = tables[o]
             d = _block_sweeps(nb2, w2, d, 2, cblock, n_live=n_live)
             d = permute(d, cross[o])
-        return d, jnp.any(d < prev), it + 8
+        # eps > 0: stop once no cell improved by more than eps (meters) in a
+        # full 8-sweep cycle — the exact-fixpoint tail spends cycles
+        # shaving sub-mm amounts off far-field values the fine sweeps
+        # re-smooth anyway; eps=0 keeps the exact d < prev semantics
+        return d, jnp.any(prev - d > eps), it + 8
 
     def cond(state):
         _, changed, it = state
@@ -465,7 +469,8 @@ def _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, dist, n_steps,
 
 def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                 positions, n_steps, fine_sweeps=6, cell_factor=2.0,
-                c_cap=None, kc=32, k_sub=16, block_size=512, fine_k=None):
+                c_cap=None, kc=32, k_sub=16, block_size=512, fine_k=None,
+                coarse_eps=0.0):
     """Two-level geodesic solve: coarse cell-graph fixpoint + prolongation +
     a fixed number of fine sweeps.
 
@@ -507,7 +512,7 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     # letting a fine-tuned n_steps truncate the long-range solve
     cdist = _fast_sweep_orders(
         ccoords, cmask, cnb, cw, c_cap, cblock, cdist, max(n_steps, 256),
-        n_live=jnp.sum(cmask.astype(jnp.int32)),
+        n_live=jnp.sum(cmask.astype(jnp.int32)), eps=coarse_eps,
     )
 
     # ---- prolong + fine smoothing sweeps (spatially sorted, fixed count).
@@ -542,19 +547,20 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
 
 def geodesic_distance_hier(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                            n_steps, positions, fine_sweeps=6, cell_factor=2.0,
-                           kc=32, k_sub=16, fine_k=None):
+                           kc=32, k_sub=16, fine_k=None, coarse_eps=0.0):
     """Batched two-level approximate geodesics (see _hier_scene).
 
     Same [B,P,Q] / -1 contract as geodesic_distance; `n_steps` bounds the
     coarse solve (it converges and early-exits long before room-scale caps).
     fine_k restricts the fine smoothing sweeps to the nearest fine_k edges
-    (None = all).
+    (None = all). coarse_eps > 0 relaxes the coarse fixpoint exit to
+    "no cell improved by more than eps meters in a cycle".
     """
     return jax.lax.map(
         lambda a: _hier_scene(
             a[0], a[1], a[2], a[3], a[4], radius, a[5], n_steps,
             fine_sweeps=fine_sweeps, cell_factor=cell_factor, kc=kc, k_sub=k_sub,
-            fine_k=fine_k,
+            fine_k=fine_k, coarse_eps=coarse_eps,
         ),
         (nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions),
     )

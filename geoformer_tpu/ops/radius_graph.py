@@ -67,6 +67,39 @@ def build_cell_table(points, mask, radius, cc, cell_cap, spatial=1024):
     return grid, origin, cell_pts, cell_xyz, n_dropped
 
 
+def ranked_lookup(table, queries, seg: int = 128):
+    """searchsorted(table, queries, side='left') for a SORTED 1-D table via
+    a two-level compare-count — no sort, no binary-search scalar gathers.
+
+    rank(q) = #\\{i: table[i] < q\\} decomposes over `seg`-sized segments:
+    the segment maxes tell how many segments sit ENTIRELY below q (each
+    contributes `seg`), and only the one boundary segment needs an exact
+    in-segment count — one [N, seg] row-gather + compare-sum. The old
+    method="sort" lowering sorts the len(table)+len(queries) concatenation
+    (~1.8M keys at prod: 65.6 ms); this runs the [N, T/seg] compare-count
+    on the VPU + one row-gather (measured ~3x faster at prod shapes,
+    tools/geo_bisect.py knn_parts)."""
+    t = table.shape[0]
+    ns = (t + seg - 1) // seg
+    pad = ns * seg - t
+    # pad with +inf-like sentinel (table is int32 keys below int32 max)
+    tp = jnp.pad(table, (0, pad), constant_values=jnp.iinfo(table.dtype).max)
+    rows = tp.reshape(ns, seg)
+    seg_max = rows[:, -1]  # [ns]
+    qshape = queries.shape
+    q = queries.reshape(-1)
+    # full segments strictly below q (their max < q => every entry < q)
+    nfull = jnp.sum(
+        (seg_max[None, :] < q[:, None]).astype(jnp.int32), axis=1
+    )  # [N] in [0, ns]
+    bseg = jnp.minimum(nfull, ns - 1)
+    seg_rows = rows[bseg]  # [N, seg] row-gather
+    inseg = jnp.sum((seg_rows < q[:, None]).astype(jnp.int32), axis=1)
+    # when nfull == ns every entry is below q: rank = t exactly
+    rank = jnp.where(nfull >= ns, t, bseg * seg + inseg)
+    return rank.reshape(qshape)
+
+
 def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024):
     """3^3 cell-window lookup: query_cells [N,3] (x,y,z int) ->
     [N,27] cell slots into the sorted cell table (cc = not-found pad)."""
@@ -74,8 +107,7 @@ def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024
     nc = query_cells[:, None, :] + offs[None, :, :]  # [N,27,3]
     in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & query_valid[:, None]
     nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-    # method="sort" beats XLA's binary-search lowering ~5x at this scale
-    cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
+    cwin = ranked_lookup(cell_keys, nkey).astype(jnp.int32)
     cwin = jnp.minimum(cwin, cc - 1)
     found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
     return jnp.where(found, cwin, cc)  # pad cell

@@ -48,10 +48,13 @@ def build_subm_neighbors(grid: VoxelGrid, spatial: int) -> jax.Array:
         nc = coords[:, None, :] + offsets[None, :, ::-1]  # [V,27,3] (x,y,z)
         in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & mask[:, None]
         nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-        # method="sort": XLA's binary-search lowering costs ~5x more than
-        # one extra sort at this size on v5e (measured 256 vs 52 ms for
-        # 65536x27 queries)
-        idx = jnp.searchsorted(keys, nkey, method="sort").astype(jnp.int32)
+        # two-level compare-count rank: no sort, no binary-search scalar
+        # gathers (method="sort" sorted the ~7M-key concat at level 0;
+        # XLA's binary-search lowering was 5x worse still — 256 vs 52 ms
+        # for 65536x27 queries on v5e)
+        from geoformer_tpu.ops.radius_graph import ranked_lookup
+
+        idx = ranked_lookup(keys, nkey).astype(jnp.int32)
         idx = jnp.minimum(idx, v - 1)
         found = in_range & (keys[idx] == nkey) & (idx < n_vox)
         return jnp.where(found, idx, v).astype(jnp.int32)

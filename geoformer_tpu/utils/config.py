@@ -116,10 +116,12 @@ _DEFAULTS = dict(
     tpu_train_subsample=30000,  # mask-head training subsample (ref: 30k)
     tpu_max_instances=64,       # gt instance capacity per scene
     tpu_knn_neighbors=64,       # geodesic kNN fan-out (ref: 64)
-    # voxel-hash cell capacity for the radius graph. 16 (with the window
-    # compaction below) replaces the r3 default 8, which dropped ~8.7% of
-    # fg points from the graph at prod density (BENCH_r03 dropped_points)
-    tpu_radius_cell_cap=16,
+    # voxel-hash cell capacity for the radius graph. The r3 default 8
+    # dropped ~8.7% of fg points from the graph at prod density
+    # (BENCH_r03); 16 left 11 drops at plane junctions of the bench scene;
+    # 24 measures ZERO on the full 65k synthetic cloud (an upper bound on
+    # any fg subset) for ~+6% graph-build cost (BASELINE.md r4)
+    tpu_radius_cell_cap=24,
     tpu_radius_cell_div=2,      # cell-slot capacity divisor (1 = exact any input)
     # per-cell candidate-window compaction for the radius kNN: compact each
     # cell's 27-neighbor member lists to this many lanes (round-robin
@@ -155,6 +157,11 @@ _DEFAULTS = dict(
     tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
     # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)
     tpu_geodesic_cell_factor=2.0,
+    # coarse-fixpoint exit slack (meters): 0 = exact fixpoint. The exact
+    # exit spends tail cycles shaving sub-mm amounts off far-field values
+    # the fine sweeps re-smooth anyway; measured on-chip before shipping a
+    # nonzero default (BASELINE.md r4)
+    tpu_geodesic_coarse_eps=0.0,
     # sweep-units, not single hops: one forward+backward block sweep pair
     # propagates many hops (see ops/geodesic.py); 64 units cover any
     # room-scale scene beyond the reference BFS's 256-hop first-visit cap

@@ -163,3 +163,26 @@ def test_radius_knn_cell_div_dense_surface():
                         cell_cap=8, cell_div=2)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_ranked_lookup_matches_searchsorted():
+    """ranked_lookup (two-level compare-count) == searchsorted side='left'
+    on sorted int32 tables, incl. exact hits, duplicates, below-min /
+    above-max queries, and non-multiple-of-segment table lengths."""
+    from geoformer_tpu.ops.radius_graph import ranked_lookup
+
+    rng = np.random.default_rng(11)
+    for t_len in (1, 127, 128, 129, 4096):
+        table = np.sort(rng.integers(0, 2**30, t_len).astype(np.int32))
+        # force duplicate runs
+        table[t_len // 2:t_len // 2 + min(5, t_len - t_len // 2)] = table[t_len // 2]
+        table = np.sort(table)
+        qs = np.concatenate([
+            rng.integers(0, 2**30, 2048).astype(np.int32),
+            table[: min(t_len, 64)],
+            np.array([0, 2**30 - 1], np.int32),
+        ])
+        qs = qs[: qs.size - qs.size % 2].reshape(-1, 2)  # non-flat shape must round-trip
+        want = np.searchsorted(table, qs, side="left")
+        got = np.asarray(ranked_lookup(jnp.asarray(table), jnp.asarray(qs)))
+        np.testing.assert_array_equal(got, want)

@@ -92,6 +92,52 @@ def main():
         first = plan.bricks[0].nbr if plan.bricks else plan.subm[0]
         return first, plan.grids[0].p2v
 
+    # gridplan compile sub-stages (compile-time attribution: the full
+    # gridplan program is the top compile sink — these isolate which leg)
+    def vox0(variables, batch, rng):
+        from geoformer_tpu.ops.voxelize import voxelize
+
+        return voxelize(batch["coords"], batch["point_mask"], mc.max_voxels,
+                        mc.spatial).p2v
+
+    def voxchain(variables, batch, rng):
+        from geoformer_tpu.ops.sparse_conv import (
+            build_downsample, voxel_capacities)
+        from geoformer_tpu.ops.voxelize import voxelize
+
+        caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+        grids = [voxelize(batch["coords"], batch["point_mask"], caps[0],
+                          mc.spatial)]
+        s = mc.spatial
+        for lvl in range(mc.depth - 1):
+            link = build_downsample(grids[-1], s, caps[lvl + 1])
+            grids.append(link.parent_grid)
+            s //= 2
+        return tuple(g.p2v for g in grids)
+
+    def brickplans(variables, batch, rng):
+        from geoformer_tpu.ops.brick import build_brick_plan
+        from geoformer_tpu.ops.sparse_conv import (
+            build_downsample, voxel_capacities)
+        from geoformer_tpu.ops.voxelize import voxelize
+
+        caps = voxel_capacities(mc.max_voxels, mc.depth, mc.voxel_decay)
+        grids = [voxelize(batch["coords"], batch["point_mask"], caps[0],
+                          mc.spatial)]
+        s = mc.spatial
+        for lvl in range(mc.depth - 1):
+            link = build_downsample(grids[-1], s, caps[lvl + 1])
+            grids.append(link.parent_grid)
+            s //= 2
+        occ = mc.brick_occupancy or 64
+        bricks = []
+        s = mc.spatial
+        for lvl in range(mc.depth):
+            nb = min(caps[lvl], max(caps[lvl] // occ, 64))
+            bricks.append(build_brick_plan(grids[lvl], s, nb))
+            s //= 2
+        return tuple(bp.occ for bp in bricks)
+
     def unet(variables, batch, rng):
         from geoformer_tpu.ops.sparse_conv import build_grid_plan, voxel_capacities
         from geoformer_tpu.ops.voxelize import voxel_mean_pool
@@ -135,9 +181,12 @@ def main():
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["mask_logits"]
 
-    stages = {"gridplan": gridplan, "unet": unet, "backbone": bb,
+    stages = {"vox0": vox0, "voxchain": voxchain, "brickplans": brickplans,
+              "gridplan": gridplan, "unet": unet, "backbone": bb,
               "aggregator": agg, "geodesic": geo, "full": full}
-    want = args.stages.split(",") if args.stages != "all" else list(stages)
+    # "all" keeps the historical stage chain (sub-stages are opt-in)
+    want = args.stages.split(",") if args.stages != "all" else [
+        "gridplan", "unet", "backbone", "aggregator", "geodesic", "full"]
 
     r = jax.random.PRNGKey(1)
     for name in want:

@@ -84,6 +84,7 @@ def main():
     ap.add_argument("--fine_k", type=int, default=16)
     ap.add_argument("--k_sub", type=int, default=16)
     ap.add_argument("--cell_factor", type=float, default=2.0)
+    ap.add_argument("--coarse_eps", type=float, default=0.0)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--stages", type=str, default="all")
     args = ap.parse_args()
@@ -356,7 +357,7 @@ def main():
         return _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, cdist,
                                   max(args.steps, 256),
                                   n_live=jnp.sum(cmask.astype(jnp.int32)),
-                                  return_iters=True)
+                                  return_iters=True, eps=args.coarse_eps)
 
     def coarse(cnb, cw, seeds, seed_mask, p2c, to_rep):
         return coarse_it(cnb, cw, seeds, seed_mask, p2c, to_rep, ccoords, cmask)[0]
@@ -408,6 +409,7 @@ def main():
                 nbr, nbr_d, seeds, seed_mask, mask, args.radius, args.steps,
                 pts, fine_sweeps=args.fine_sweeps, cell_factor=args.cell_factor,
                 k_sub=args.k_sub, fine_k=args.fine_k or None,
+                coarse_eps=args.coarse_eps,
             )
 
         timed(hier, nbr, nbr_d, seeds, seed_mask, mask, pts, label="hier solve (full)")
