@@ -95,6 +95,10 @@ class ModelConfig:
     # per-cell candidate-window compaction for the radius kNN (0 = full
     # 27*cell_cap width; measured loss on v5e — see utils/config.py)
     knn_window: int = 0
+    # per-cell window MATERIALIZATION (no compaction): candidates gathered
+    # once per cell, points pick their window up with one wide row-gather.
+    # Exact (identical candidate set). keep in sync with utils/config.py
+    knn_cellwin: bool = False
     ball_nsample: int = 64
     test_score_thresh: float = 0.5
     test_npoint_thresh: int = 100
@@ -112,6 +116,10 @@ class ModelConfig:
     brick_occupancy: int = 32
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
+    # banded VMEM-resident Pallas kernel for the brick convs
+    # (ops/brick_pallas.py); engages only on a TPU backend, XLA elsewhere.
+    # keep in sync with utils/config.py tpu_brick_pallas
+    brick_pallas: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
     remat: bool = False
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
@@ -174,11 +182,13 @@ class ModelConfig:
             ball_nsample=cfg.tpu_ball_nsample,
             ball_cell_cap=cfg.tpu_ball_cell_cap,
             knn_window=cfg.tpu_knn_window,
+            knn_cellwin=cfg.tpu_knn_cellwin,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
             subm_k=cfg.tpu_subm_k,
             brick_occupancy=cfg.tpu_brick_occupancy,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
+            brick_pallas=cfg.tpu_brick_pallas,
             remat=cfg.tpu_remat,
         )
 
@@ -281,7 +291,7 @@ class GeoFormerBase(nn.Module):
         self.backbone = SparseUNetBackbone(
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
-            remat=mc.remat, name="backbone",
+            remat=mc.remat, pallas_conv=mc.brick_pallas, name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [
@@ -445,6 +455,7 @@ class GeoFormerBase(nn.Module):
                 cell_cap=mc.radius_cell_cap,
                 cell_div=mc.radius_cell_div,
                 window=mc.knn_window,
+                cellwin=mc.knn_cellwin,
                 with_stats=True,  # cell-capacity drops surface, never silent
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))

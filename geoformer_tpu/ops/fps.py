@@ -47,7 +47,17 @@ def furthest_point_sample(points: jax.Array, mask: jax.Array, n_samples: int):
     (ops/fps_pallas.py — VMEM-resident loop, no per-pick HBM traffic); the
     XLA fori_loop below is the portable reference path.
     """
-    if jax.default_backend() == "tpu":
+    # NOTE "axon": the TPU tunnel backend registers under its own platform
+    # name (JAX_PLATFORMS=axon) — matching only "tpu" silently ran the XLA
+    # fori_loop below on the real chip through round 3. Pallas-on-axon is
+    # env-gated until the kernel's compile + output are validated through
+    # the tunnel (GEOFORMER_FPS_PALLAS=1; tools/point_ops on-chip check).
+    import os
+
+    backend = jax.default_backend()
+    if backend == "tpu" or (
+        backend == "axon" and os.environ.get("GEOFORMER_FPS_PALLAS") == "1"
+    ):
         from geoformer_tpu.ops.fps_pallas import fps_pallas
 
         return fps_pallas(points, mask, n_samples)

@@ -171,7 +171,7 @@ def _compact_cell_candidates(cell_pts, cell_xyz, cwin, cmask, p, window):
 
 
 def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
-                      cell_div=1, window=0, with_stats=False):
+                      cell_div=1, window=0, with_stats=False, cellwin=False):
     p = points.shape[0]
     # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
     # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
@@ -199,7 +199,36 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     cwin = window_lookup(cell_keys, n_cells, cc, ccoords, cmask, spatial)
 
     n_window_pts = jnp.zeros((), jnp.int32)
-    if window and window < 27 * cell_cap:
+    if cellwin and not (window and window < 27 * cell_cap):
+        # per-CELL window materialization (NO compaction — the cumsum/
+        # searchsorted compaction machinery measured 5.5x slower than the
+        # wide top_k, DESIGN.md): build each cell's full [27*cap] candidate
+        # list and [27*cap*3] flat-packed xyz ONCE per cell, then every
+        # point picks its whole window up with a single wide row-gather.
+        # Identical candidate set to the per-point two-hop path (pinned in
+        # tests/test_radius_graph.py); the difference is gather granularity
+        # — [CC,27] cell-row gathers + [P] wide-row gathers instead of
+        # 27 narrow row-gathers per POINT (each padded to a full tile).
+        cell_pts_pad = jnp.concatenate(
+            [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
+        )
+        cell_xyz_pad = jnp.concatenate(
+            [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
+        )
+        win_cand = cell_pts_pad[cwin].reshape(cc, 27 * cell_cap)  # [CC, W]
+        win_xyz = cell_xyz_pad[cwin].reshape(cc, 27 * cell_cap * 3)
+        wc_pad = jnp.concatenate(
+            [win_cand, jnp.full((1, 27 * cell_cap), p, jnp.int32)], axis=0
+        )
+        wx_pad = jnp.concatenate(
+            [win_xyz, jnp.zeros((1, 27 * cell_cap * 3), points.dtype)], axis=0
+        )
+        pc = jnp.minimum(p2c, cc)
+        live = (p2c < cc) & mask
+        cand = jnp.where(live[:, None], wc_pad[pc], p)  # [P, 27*cap]
+        cpos = wx_pad[pc]  # [P, 27*cap*3]
+        width = 27 * cell_cap
+    elif window and window < 27 * cell_cap:
         w_ = max(window, k)
         ccand, cxyz, n_window_pts = _compact_cell_candidates(
             cell_pts, cell_xyz, cwin, cmask, p, w_
@@ -280,7 +309,7 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
 
 def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
                cell_div: int = 1, window: int = 0,
-               with_stats: bool = False):
+               with_stats: bool = False, cellwin: bool = False):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
     (self excluded), exact up to `cell_cap` points per radius-cell and
@@ -291,7 +320,10 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
     edge set whenever the in-radius count <= K. window>0 compacts each
     cell's 27-neighbor member lists to max(window, k) candidate lanes once
     per CELL before the per-point d2/top_k (see _compact_cell_candidates);
-    exact while every window holds <= that many members. with_stats appends
+    exact while every window holds <= that many members. cellwin=True
+    materializes each cell's FULL [27*cell_cap] window once per cell
+    (exact — identical candidate set; only the gather granularity
+    changes). with_stats appends
     two [B] int32 counters: points dropped from the candidate table
     (cell-slot or per-cell capacity overflow — those points get no incoming
     edges) and points whose candidate window overflowed `window` (their
@@ -301,5 +333,6 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
         lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
                                         cell_div=cell_div,
                                         window=window,
-                                        with_stats=with_stats)
+                                        with_stats=with_stats,
+                                        cellwin=cellwin)
     )(points, mask)

@@ -108,6 +108,12 @@ _DEFAULTS = dict(
     save_fg=False,
     # --- TPU static-shape capacities (ours; no reference equivalent) ---
     tpu_bf16=False,
+    # banded VMEM-resident Pallas kernel for the dense-brick subm convs
+    # (ops/brick_pallas.py). Even when True it engages only on a TPU
+    # backend and where the banded weight fits VMEM. Default False pending
+    # the on-chip A/B (tools/brick_kernel_bench.py) — flip with the
+    # measurement in BASELINE.md
+    tpu_brick_pallas=False,
     tpu_remat=False,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
@@ -133,6 +139,12 @@ _DEFAULTS = dict(
     # hardware where sort width dominates. Overflow surfaces as
     # n_radius_window_overflow (AP floor table in BASELINE.md r4)
     tpu_knn_window=0,
+    # per-cell candidate-window MATERIALIZATION for the radius kNN (no
+    # compaction — exact, identical candidate set): the [27*cap] window is
+    # gathered once per CELL and points pick it up with one wide
+    # row-gather, replacing 27 tile-padded row-gathers per point. Default
+    # False pending the on-chip A/B (geo_bisect --cellwin; BASELINE.md)
+    tpu_knn_cellwin=False,
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
                                 # (ops/brick.py; 0 = gather-rulebook path)

@@ -59,7 +59,8 @@ def make_walled_scene(seed=0, spacing=0.02):
 
 
 def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
-                   window=0, report_drops=False):
+                   window=0, report_drops=False, cell_factor=2.0, kc=32,
+                   coarse_eps=0.0):
     pts, inst = make_walled_scene()
     f = pts.shape[0]
     mask = np.ones(f, bool)
@@ -86,7 +87,8 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
         geo = geodesic_distance_hier(
             nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
             64, jnp.asarray(pts[None]), fine_sweeps=fine_sweeps,
-            cell_factor=2.0, fine_k=fine_k,
+            cell_factor=cell_factor, fine_k=fine_k, kc=kc,
+            coarse_eps=coarse_eps,
         )
     else:
         geo = geodesic_distance(

@@ -165,6 +165,21 @@ def test_radius_knn_cell_div_dense_surface():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
 
 
+def test_radius_knn_cellwin_exact():
+    """The per-cell window-materialization path returns the IDENTICAL graph
+    (indices and d2) to the per-point two-hop path — it only changes gather
+    granularity, never the candidate set."""
+    rng = np.random.default_rng(23)
+    pts = jnp.asarray(rng.normal(size=(1, 700, 3)).astype(np.float32) * 0.35)
+    mask = jnp.asarray(rng.random((1, 700)) > 0.08)
+    for cap, div in [(8, 1), (16, 2), (4, 2)]:
+        d1, i1 = radius_knn(pts, mask, 0.12, 12, cell_cap=cap, cell_div=div)
+        d2_, i2 = radius_knn(pts, mask, 0.12, 12, cell_cap=cap, cell_div=div,
+                             cellwin=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2_), rtol=1e-6)
+
+
 def test_ranked_lookup_matches_searchsorted():
     """ranked_lookup (two-level compare-count) == searchsorted side='left'
     on sorted int32 tables, incl. exact hits, duplicates, below-min /

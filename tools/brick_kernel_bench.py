@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""A/B the banded Pallas brick conv vs the XLA conv at backbone shapes.
+
+Times dense_subm_conv (halo pad + conv) with pallas on/off, amortized in a
+scan inside one jit (every timing D2H-observed; the tunnel's
+block_until_ready is a no-op). Shapes mirror the prod backbone levels:
+NB bricks at the level's channel width.
+
+Usage: python tools/brick_kernel_bench.py [--reps 8] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
+    from geoformer_tpu.ops.brick import BS, build_brick_plan, dense_subm_conv
+    from geoformer_tpu.ops.voxelize import voxelize
+
+    rng = np.random.default_rng(0)
+    # synthetic surface-ish occupancy: `occupancy` voxels per brick
+    v = nb * occupancy
+    bricks = rng.permutation(nb * 2)[:nb]  # occupied brick ids in a 2x keyspace
+    cells = rng.permutation(BS**3)[:occupancy]
+    bx = np.stack(np.unravel_index(bricks, (16, 16, nb * 2 // 256 + 1)), -1)
+    cx = np.stack(np.unravel_index(cells, (BS, BS, BS)), -1)
+    coords = (bx[:, None, :] * BS + cx[None, :, :]).reshape(-1, 3)[:v]
+    coords = jnp.asarray(coords[None], jnp.int32)  # [1, V, 3]
+    mask = jnp.ones((1, v), bool)
+
+    spatial = 1024
+    grid = voxelize(coords, mask, v, spatial)
+    plan = build_brick_plan(grid, spatial, nb)
+    dtype = compute_dtype or jnp.float32
+    x = jnp.asarray(rng.normal(size=(1, nb, BS, BS, BS, cin)), dtype)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
+
+    @jax.jit
+    def run(x, w):
+        def body(c, _):
+            y = dense_subm_conv(c, plan, w, compute_dtype=compute_dtype,
+                                pallas=pallas)
+            if cout != cin:  # keep the scan carry shape (tile channels back)
+                y = jnp.concatenate([y] * (cin // cout), axis=-1)
+            return y.astype(c.dtype), ()
+
+        y, _ = jax.lax.scan(body, x, None, length=reps)
+        return y
+
+    t0 = time.perf_counter()
+    out = np.asarray(run(x, w))  # D2H forces completion
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(x, w))
+        times.append(time.perf_counter() - t0)
+    per_conv = float(np.median(times)) / reps * 1e3
+    assert np.isfinite(out).all()
+    return per_conv, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--occupancy", type=int, default=64)
+    args = ap.parse_args()
+    cd = jnp.bfloat16 if args.bf16 else None
+    print(f"device={jax.devices()[0]} reps={args.reps} "
+          f"dtype={'bf16' if args.bf16 else 'f32'}")
+    # prod backbone levels: (NB, C) — level tails run 2C -> C
+    for nb, cin, cout in [(4096, 16, 16), (4096, 32, 16), (2048, 32, 32),
+                          (1024, 48, 48), (512, 64, 64)]:
+        for pallas in (False, True):
+            per_conv, compile_s = bench_level(
+                nb, cin, cout, args.occupancy, args.reps, cd, pallas
+            )
+            tag = "pallas" if pallas else "xla   "
+            print(f"NB={nb:5d} C={cin:3d}->{cout:3d} {tag}: "
+                  f"{per_conv:7.2f} ms/conv (compile {compile_s:.1f}s)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

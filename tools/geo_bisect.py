@@ -108,8 +108,8 @@ def main():
     print(f"device={jax.devices()[0]} fg={f} q={q} knn={args.knn}", flush=True)
 
     want = args.stages.split(",") if args.stages != "all" else [
-        "knn_sorted", "knn_window", "knn_parts", "contract", "coarse", "fine",
-        "hier",
+        "knn_sorted", "knn_cellwin", "knn_window", "knn_parts", "contract",
+        "coarse", "fine", "hier",
     ]
 
     knn = jax.jit(functools.partial(
@@ -120,6 +120,15 @@ def main():
 
     if "knn_sorted" in want:
         timed(knn, pts, mask, label="radius_knn sort=True")
+    if "knn_cellwin" in want:
+        knn_cw = jax.jit(functools.partial(
+            radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
+            cell_div=args.cell_div, cellwin=True))
+        d2c, nbrc = timed(knn_cw, pts, mask, label="radius_knn cellwin=True")
+        same = bool(jnp.all(nbrc == nbr)) and bool(
+            jnp.allclose(jnp.minimum(d2c, 1e30), jnp.minimum(d2, 1e30))
+        )
+        print(f"  exact_match_vs_pointwise={same}", flush=True)
     if "knn_window" in want:
         knn_w = jax.jit(functools.partial(
             radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
