@@ -6,13 +6,22 @@ backbone's small channel counts (m=16 -> C in 16..112) the conv lowering
 materializes patch/relayout intermediates in HBM and underfills the MXU
 (N=C lanes of 128). This kernel removes both costs at once:
 
-- the halo-padded block lives in VMEM for all taps — the padded tensor is
-  read from HBM exactly once per conv;
-- the brick x axis folds into the LANE dimension ([bn,10,10,10C] view) and
-  all three x-taps run as ONE matmul against a block-banded weight
-  wb[(dz,dy)] of shape [10*Cin, 8*Cout]: K=10C, N=8C >= 128 at C >= 16 —
-  full MXU tiles at every backbone width. The band's zero blocks cost
-  ~3.3x the sparse-ideal FLOPs, which the now-unstarved MXU absorbs.
+- the halo-padded brick block is VMEM-resident for all 9 (kz,ky) tap
+  pairs — the padded tensor is read from HBM exactly once per conv;
+- the brick x axis folds into the LANE dimension and all three x-taps run
+  as ONE matmul per (kz,ky) against a block-banded weight wb[(kz,ky)] of
+  shape [10*Cin, 8*Cout]: K,N >= 128 at every backbone width (m=16 ->
+  C in 16..112) — full MXU tiles. The band's zero blocks cost ~3.3x the
+  sparse-ideal FLOPs, which the now-unstarved MXU absorbs.
+
+Mosaic constraint that shaped the layout: dynamic slices on the SUBLANE
+(second-to-last) dim must be provably 8-aligned ("cannot statically prove
+index in dimension 2 is a multiple of 8" — the first version of this
+kernel died there on the axon tunnel), while dynamic slices on untiled
+leading dims are unrestricted. So blocks are 5-D
+[b0, 10z, 10y, 8bricks, 10C]: z and y (the dynamically kz/ky-sliced axes)
+are untiled leading dims, 8 bricks ride the sublane SHIFT-FREE, and the x
+shifts live in the banded weight's lane structure.
 
 This is the round-3 "banded" formulation that measured ZERO win as an XLA
 rewrite (the chain stayed HBM/overhead-bound, DESIGN.md) — moved to where
@@ -25,9 +34,12 @@ model/geoformer_modules.py:10-129). Occupancy masking and halo padding
 stay with the caller (ops/brick.py). Output is f32 (the kernel accumulates
 f32; callers cast to the level residency dtype).
 
-Falls back to the XLA conv when the banded weight would not fit VMEM
-(wb = 9*10C*8C', deep-level channel counts) — those levels hold few bricks
-and are cheap either way.
+Falls back to the XLA conv (dense_subm_conv gates on `banded_fits`) when
+no Mosaic-LEGAL split fits VMEM: a lane split must leave a multiple of 128
+lanes (or the full dim), so the fwd splits OUTPUT lanes (8*Cout, a %128
+multiple at every backbone width) and the bwd splits the CONTRACTION dim
+(g's 8*Cout lanes) — dx's 10*Cin lane width is never %128 and can only be
+emitted whole.
 """
 
 from __future__ import annotations
@@ -38,7 +50,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # selection tensor: sel[kx, r, x] = 1 iff padded-x row-block r feeds output
 # x-block x under tap kx (r = x + kx; kx in 0..2 means dx = kx-1)
@@ -60,17 +71,20 @@ def build_banded_weight(w: jax.Array) -> jax.Array:
     return wb.reshape(9, 10 * cin, 8 * cout)
 
 
-def _fwd_kernel(x_ref, wb_ref, o_ref, *, bn):
-    """x [bn,10,10,10C] (padded bricks, x folded into lanes), wb [1,10C,8Co],
-    o [bn,8,8,8Co] f32. Grid (n_blocks, 9), tap-pair index j inner so the x
-    and o blocks stay VMEM-resident across all 9 (kz,ky) matmuls."""
-    j = pl.program_id(1)
+def _fwd_kernel(x_ref, wb_ref, o_ref, *, b0):
+    """x [b0, 10z, 10y, 8bricks, 10C] (halo-padded, x/C in lanes, bricks on
+    the sublane), wb [1, 10C, 8Co/split], o [b0, 8, 8, 8, 8Co/split] f32.
+    Grid (n_blocks, split, 9): tap-pair index j innermost so the x and o
+    blocks stay VMEM-resident across all 9 (kz,ky) matmuls; the split dim
+    blocks OUTPUT lanes so wide banded weights still fit VMEM."""
+    j = pl.program_id(2)
     kz = j // 3
     ky = j % 3
-    xs = x_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :]  # [bn,8,8,10C]
-    xs = xs.reshape(bn * 64, x_ref.shape[-1])
+    # z and y are untiled leading dims of the 5-D block: dynamic ok
+    xs = x_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :, :]  # [b0,8,8,8,10C]
+    xs = xs.reshape(b0 * 512, x_ref.shape[-1])
     acc = jnp.dot(xs, wb_ref[0], preferred_element_type=jnp.float32)
-    acc = acc.reshape(bn, 8, 8, o_ref.shape[-1])
+    acc = acc.reshape(b0, 8, 8, 8, o_ref.shape[-1])
 
     @pl.when(j == 0)
     def _():
@@ -81,41 +95,97 @@ def _fwd_kernel(x_ref, wb_ref, o_ref, *, bn):
         o_ref[:] += acc
 
 
-def _bwd_kernel(g_ref, wbt_ref, dx_ref, *, bn):
-    """Transpose pass: g [bn,8,8,8Co], wbt [1,8Co,10C] (= wb[j].T),
-    dx [bn,10,10,10C] f32 accumulated over the 9 tap pairs."""
-    j = pl.program_id(1)
+def _bwd_kernel(g_ref, wbt_ref, dx_ref, *, b0):
+    """Transpose pass: g [b0, 8, 8, 8bricks, 8Co/ksplit], wbt
+    [1, 8Co/ksplit, 10C] (= wb[j].T K-blocked), dx [b0, 10, 10, 8bricks,
+    10C] f32 accumulated over the 9 tap pairs AND the K blocks.
+
+    The bwd splits the CONTRACTION dim, not the output lanes: dx's lane
+    width 10C is a multiple of 128 at no backbone width, so a lane-blocked
+    dx block would be Mosaic-illegal (block last dim must be %128 or the
+    full dim) — whereas g's lane width 8Co always splits into %128 pieces."""
+    j = pl.program_id(2)
     kz = j // 3
     ky = j % 3
 
-    @pl.when(j == 0)
+    @pl.when((j == 0) & (pl.program_id(1) == 0))
     def _():
         dx_ref[:] = jnp.zeros_like(dx_ref)
 
-    g = g_ref[:].reshape(bn * 64, g_ref.shape[-1])
+    g = g_ref[:].reshape(b0 * 512, g_ref.shape[-1])
     d = jnp.dot(g, wbt_ref[0], preferred_element_type=jnp.float32)
-    d = d.reshape(bn, 8, 8, dx_ref.shape[-1])
-    dx_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :] += d
+    d = d.reshape(b0, 8, 8, 8, dx_ref.shape[-1])
+    dx_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :, :] += d
 
 
-def _pick_bn(n: int, cin: int, cout: int, bytes_per: int) -> int:
-    """Largest block size whose VMEM working set stays well under budget."""
-    # x block [bn,10,16,ceil(10C/128)*128] + out [bn,8,8,8Co] f32 (+ wb)
-    x_bytes = 10 * 16 * -(-(10 * cin) // 128) * 128 * bytes_per
-    o_bytes = 8 * 8 * -(-(8 * cout) // 128) * 128 * 4
-    wb_bytes = 10 * cin * 8 * cout * bytes_per
-    budget = 10 * 2**20 - 2 * wb_bytes  # wb double-buffers across j
-    bn = max(1, budget // (2 * (x_bytes + o_bytes)))
-    bn = int(min(bn, 16, n))
-    while n % bn:
-        bn -= 1
-    return bn
+def _lane_splits(lanes: int):
+    """Legal Mosaic lane splits of `lanes`: s=1 (block == full dim), else
+    the quotient must be a multiple of 128."""
+    yield 1
+    if lanes % 128 == 0:
+        q = lanes // 128
+        for s in range(2, q + 1):
+            if q % s == 0:
+                yield s
+
+
+def _lane_bytes(rows: int, lanes: int, bytes_per: int) -> int:
+    return rows * -(-lanes // 128) * 128 * bytes_per
+
+
+_BUDGET = 13 * 2**20  # of the core's ~16MB VMEM
+
+
+def _plan(n8: int, in_rows: int, in_lanes: int, out_rows: int,
+          out_lanes: int, split_lanes: int, w_k: int,
+          bytes_per: int):
+    """Joint (split, b0) choice: smallest legal split of `split_lanes` and
+    largest brick group whose working set fits VMEM. Streamed inputs and
+    weight slices double-buffer; the output block is revisited across the
+    inner grid dims (single copy). Returns (split, b0) or None."""
+    for s in _lane_splits(split_lanes):
+        w_bytes = w_k * (split_lanes // s) * bytes_per
+        in_l = in_lanes if split_lanes != in_lanes else in_lanes // s
+        out_l = out_lanes if split_lanes != out_lanes else out_lanes // s
+        for b0 in (8, 4, 2, 1):
+            if n8 % b0:
+                continue
+            ws = (2 * w_bytes
+                  + 2 * b0 * _lane_bytes(in_rows * 8, in_l, bytes_per)
+                  + b0 * _lane_bytes(out_rows * 8, out_l, 4))
+            if ws <= _BUDGET:
+                return s, b0
+    return None
+
+
+def _plan_fwd(n8: int, cin: int, cout: int, bytes_per: int):
+    # splits OUTPUT lanes (8*cout); x block keeps full 10*cin lanes
+    return _plan(n8, 100, 10 * cin, 64, 8 * cout, 8 * cout,
+                 10 * cin, bytes_per)
+
+
+def _plan_bwd(n8: int, cin: int, cout: int, bytes_per: int):
+    # splits the CONTRACTION (g's 8*cout lanes); dx keeps full 10*cin
+    return _plan(n8, 64, 8 * cout, 100, 10 * cin, 8 * cout,
+                 10 * cin, bytes_per)
 
 
 def banded_fits(cin: int, cout: int, bytes_per: int = 4) -> bool:
-    """Whether the banded weight + a minimal block fit the VMEM budget."""
-    wb_bytes = 9 * 10 * cin * 8 * cout * bytes_per
-    return wb_bytes <= 6 * 2**20
+    """Whether both passes have a Mosaic-legal split + block fitting VMEM
+    (n8=8 stands in for the worst-divisibility brick count)."""
+    return (_plan_fwd(8, cin, cout, bytes_per) is not None
+            and _plan_bwd(8, cin, cout, bytes_per) is not None)
+
+
+def _group_bricks(xm: jax.Array):
+    """[N, Z, Y, L] -> ([N8, Z, Y, 8, L], pad): 8 bricks onto the sublane."""
+    n = xm.shape[0]
+    pad = (-n) % 8
+    if pad:
+        xm = jnp.pad(xm, ((0, pad),) + ((0, 0),) * (xm.ndim - 1))
+    n8 = (n + pad) // 8
+    xg = xm.reshape((n8, 8) + xm.shape[1:]).transpose(0, 2, 3, 1, 4)
+    return xg, pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -123,28 +193,38 @@ def band_conv_padded(xp: jax.Array, w: jax.Array, interpret: bool = False):
     """Halo-padded bricks [N,10,10,10,Cin] (any float dtype), w [27,Cin,Cout]
     -> [N,8,8,8,Cout] f32. The 3^3 VALID conv of dense_subm_conv as a
     banded Pallas kernel (see module docstring)."""
-    return _band_conv_fwd(xp, w, interpret)[0]
+    return _band_conv_impl(xp, w, interpret)
 
 
 def _band_conv_impl(xp, w, interpret):
     n, _, _, _, cin = xp.shape
     cout = w.shape[2]
-    xm = xp.reshape(n, 10, 10, 10 * cin)  # x folds into lanes (free reshape)
+    bytes_per = xp.dtype.itemsize
+    # (x, C) fold into lanes; 8 bricks onto the sublane dim
+    xg, pad = _group_bricks(xp.reshape(n, 10, 10, 10 * cin))
+    n8 = xg.shape[0]
     wb = build_banded_weight(w.astype(xp.dtype))
-    bn = _pick_bn(n, cin, cout, xp.dtype.itemsize)
-    grid = (n // bn, 9)
+    plan = _plan_fwd(n8, cin, cout, bytes_per)
+    assert plan is not None, (cin, cout, bytes_per)  # gated by banded_fits
+    split, b0 = plan
+    ob = 8 * cout // split
+    grid = (n8 // b0, split, 9)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, bn=bn),
+        functools.partial(_fwd_kernel, b0=b0),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, 10, 10, 10 * cin), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 10 * cin, 8 * cout), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((b0, 10, 10, 8, 10 * cin),
+                         lambda i, s, j: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 10 * cin, ob), lambda i, s, j: (j, 0, s)),
         ],
-        out_specs=pl.BlockSpec((bn, 8, 8, 8 * cout), lambda i, j: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 8, 8, 8 * cout), jnp.float32),
+        out_specs=pl.BlockSpec((b0, 8, 8, 8, ob),
+                               lambda i, s, j: (i, 0, 0, 0, s)),
+        out_shape=jax.ShapeDtypeStruct((n8, 8, 8, 8, 8 * cout), jnp.float32),
         interpret=interpret,
-    )(xm, wb)
-    return out.reshape(n, 8, 8, 8, cout)
+    )(xg, wb)
+    # [N8, 8z, 8y, 8bricks, 8Co] -> [N, 8, 8, 8, Co]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(n8 * 8, 8, 8, 8, cout)
+    return out[:n] if pad else out
 
 
 def _band_conv_fwd(xp, w, interpret):
@@ -155,25 +235,31 @@ def _band_conv_bwd(interpret, res, g):
     xp, w = res
     n, _, _, _, cin = xp.shape
     cout = w.shape[2]
+    bytes_per = xp.dtype.itemsize
     g = g.astype(xp.dtype)
-    gm = g.reshape(n, 8, 8, 8 * cout)
+    gg, pad = _group_bricks(g.reshape(n, 8, 8, 8 * cout))
+    n8 = gg.shape[0]
     wbt = jnp.swapaxes(build_banded_weight(w.astype(xp.dtype)), 1, 2)
-    bn = _pick_bn(n, cout, cin, xp.dtype.itemsize)
-    while n % bn:
-        bn -= 1
-    grid = (n // bn, 9)
-    dxm = pl.pallas_call(
-        functools.partial(_bwd_kernel, bn=bn),
+    plan = _plan_bwd(n8, cin, cout, bytes_per)
+    assert plan is not None, (cin, cout, bytes_per)  # gated by banded_fits
+    ks, b0 = plan
+    kb = 8 * cout // ks
+    grid = (n8 // b0, ks, 9)
+    dxg = pl.pallas_call(
+        functools.partial(_bwd_kernel, b0=b0),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bn, 8, 8, 8 * cout), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 8 * cout, 10 * cin), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((b0, 8, 8, 8, kb),
+                         lambda i, k, j: (i, 0, 0, 0, k)),
+            pl.BlockSpec((1, kb, 10 * cin), lambda i, k, j: (j, k, 0)),
         ],
-        out_specs=pl.BlockSpec((bn, 10, 10, 10 * cin), lambda i, j: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, 10, 10, 10 * cin), jnp.float32),
+        out_specs=pl.BlockSpec((b0, 10, 10, 8, 10 * cin),
+                               lambda i, k, j: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n8, 10, 10, 8, 10 * cin), jnp.float32),
         interpret=interpret,
-    )(gm, wbt)
-    dx = dxm.reshape(n, 10, 10, 10, cin).astype(xp.dtype)
+    )(gg, wbt)
+    dx = dxg.transpose(0, 3, 1, 2, 4).reshape(n8 * 8, 10, 10, 10, cin)
+    dx = (dx[:n] if pad else dx).astype(xp.dtype)
 
     # dw[kz,ky,kx] = sum_sites xp[.., z+kz, y+ky, x+kx, :]^T @ g — 27 GEMMs
     # in XLA (bwd only; the fwd never pays this)

@@ -47,17 +47,10 @@ def furthest_point_sample(points: jax.Array, mask: jax.Array, n_samples: int):
     (ops/fps_pallas.py — VMEM-resident loop, no per-pick HBM traffic); the
     XLA fori_loop below is the portable reference path.
     """
-    # NOTE "axon": the TPU tunnel backend registers under its own platform
-    # name (JAX_PLATFORMS=axon) — matching only "tpu" silently ran the XLA
-    # fori_loop below on the real chip through round 3. Pallas-on-axon is
-    # env-gated until the kernel's compile + output are validated through
-    # the tunnel (GEOFORMER_FPS_PALLAS=1; tools/point_ops on-chip check).
-    import os
-
-    backend = jax.default_backend()
-    if backend == "tpu" or (
-        backend == "axon" and os.environ.get("GEOFORMER_FPS_PALLAS") == "1"
-    ):
+    # (the axon tunnel plugin registers platform "axon" but
+    # jax.default_backend() still reports "tpu" — verified on-chip,
+    # tools/fps_onchip_check.py — so this gate is live through the tunnel)
+    if jax.default_backend() == "tpu":
         from geoformer_tpu.ops.fps_pallas import fps_pallas
 
         return fps_pallas(points, mask, n_samples)

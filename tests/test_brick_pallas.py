@@ -91,6 +91,89 @@ def test_banded_weight_structure():
 
 
 def test_banded_fits_thresholds():
-    assert banded_fits(16, 16)            # level 0
+    assert banded_fits(16, 16)            # level 0 (split 1)
     assert banded_fits(64, 32)            # level-1 tail
-    assert not banded_fits(224, 112)      # deep-level concat: XLA fallback
+    assert banded_fits(224, 112, 2)       # deepest concat at bf16 residency
+    assert not banded_fits(224, 112, 4)   # ...f32 x-block blows VMEM: XLA
+    assert not banded_fits(1024, 1024)    # beyond any split: XLA fallback
+
+
+def _backbone_widths(m=16, depth=7, input_ch=6):
+    """Every (cin, cout) dense_subm_conv sees: input conv, 2 blocks and 2
+    tail blocks per level (models/unet.py)."""
+    planes = [m * (i + 1) for i in range(depth)]
+    widths = {(input_ch, planes[0])}
+    prev = planes[0]
+    for lvl, c0 in enumerate(planes):
+        widths |= {(prev, c0), (c0, c0)}
+        if lvl + 1 < depth:
+            widths |= {(2 * c0, c0)}  # tail concat
+        prev = planes[lvl + 1] if lvl + 1 < depth else c0
+    return sorted(widths)
+
+
+@pytest.mark.parametrize("bytes_per", [2, 4])
+def test_mosaic_block_legality_all_backbone_widths(bytes_per):
+    """Mosaic requires a block's last dim be a multiple of 128 OR the full
+    array dim, and its 2nd-to-last a multiple of 8 OR full (the first two
+    on-chip kernel versions died on exactly these rules — the compile-time
+    legality is checkable on CPU, interpret mode is not enough). Mirrors
+    the block shapes _band_conv_impl/_band_conv_bwd construct. At bf16 (the
+    shipped prod residency) EVERY m=16 width must engage the kernel; f32
+    may fall back at the wide deep-tail widths (few bricks, XLA is fine)."""
+    from geoformer_tpu.ops.brick_pallas import _plan_bwd, _plan_fwd
+
+    def lane_ok(block_last, full_last):
+        return block_last == full_last or block_last % 128 == 0
+
+    for m in (16, 32):
+        for cin, cout in _backbone_widths(m=m):
+            if not banded_fits(cin, cout, bytes_per):
+                assert bytes_per == 4 or m == 32, (m, cin, cout)
+                continue
+            nf = 8 * cout
+            s, _ = _plan_fwd(8, cin, cout, bytes_per)
+            # fwd: x [b0,10,10,8,10C] (lane = full dim), wb [1,10C,8Co/s]
+            # (sublane = full dim), o [b0,8,8,8,8Co/s] — the only non-full
+            # block dim is the 8Co split
+            assert lane_ok(nf // s, nf), (cin, cout, s)
+            ks, _ = _plan_bwd(8, cin, cout, bytes_per)
+            # bwd: g [b0,8,8,8,8Co/ks] (lane split), wbt [1,8Co/ks,10C]
+            # (sublane split, lane full), dx [b0,10,10,8,10C] (lane full)
+            assert lane_ok(nf // ks, nf), (cin, cout, ks)
+            assert ks == 1 or (nf // ks) % 8 == 0
+    # the shipped bf16 residency engages the kernel at every m=16 width
+    if bytes_per == 2:
+        assert all(banded_fits(c, o, 2) for c, o in _backbone_widths(m=16))
+
+
+@pytest.mark.parametrize("cin,cout,dtype", [(112, 112, jnp.float32),
+                                            (224, 112, jnp.bfloat16)])
+def test_band_conv_split_matches_xla(cin, cout, dtype):
+    """Widths/dtypes that force splits > 1 in BOTH passes: the deepest
+    level at f32 and the deepest concat at bf16 (the shipped prod
+    residency; that width at f32 falls back to XLA entirely)."""
+    from geoformer_tpu.ops.brick_pallas import _plan_bwd, _plan_fwd
+
+    bp = jnp.dtype(dtype).itemsize
+    assert _plan_fwd(8, cin, cout, bp)[0] > 1
+    assert _plan_bwd(8, cin, cout, bp)[0] > 1
+    rng = np.random.default_rng(13)
+    xp32 = rng.normal(size=(2, 10, 10, 10, cin)).astype(np.float32) * 0.25
+    w32 = rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1
+    xp = jnp.asarray(xp32, dtype)
+    w = jnp.asarray(w32, dtype)
+    rtol, atol = (2e-4, 2e-4) if dtype == jnp.float32 else (0.1, 0.3)
+    got = band_conv_padded(xp, w, True)
+    # oracle at f32 operand precision (f32 accumulation both sides)
+    want = _xla_conv(xp.astype(jnp.float32), w.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=rtol, atol=atol)
+    # grads through the K-split bwd kernel
+    cot = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    gx_p = jax.grad(lambda x: jnp.sum(band_conv_padded(x, w, True) * cot))(xp)
+    gx_x = jax.grad(lambda x: jnp.sum(
+        _xla_conv(x.astype(jnp.float32), w.astype(jnp.float32)) * cot))(xp)
+    np.testing.assert_allclose(np.asarray(gx_p, np.float32),
+                               np.asarray(gx_x, np.float32),
+                               rtol=rtol, atol=atol * 2)

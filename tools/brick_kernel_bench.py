@@ -51,18 +51,20 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
             return y.astype(c.dtype), ()
 
         y, _ = jax.lax.scan(body, x, None, length=reps)
-        return y
+        # scalar output: D2H through the tunnel relay runs ~MB/s — returning
+        # the full level tensor measured 3 s of pure transfer per call
+        return jnp.sum(y.astype(jnp.float32))
 
     t0 = time.perf_counter()
-    out = np.asarray(run(x, w))  # D2H forces completion
+    out = float(run(x, w))  # D2H forces completion
     compile_s = time.perf_counter() - t0
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        np.asarray(run(x, w))
+        float(run(x, w))
         times.append(time.perf_counter() - t0)
     per_conv = float(np.median(times)) / reps * 1e3
-    assert np.isfinite(out).all()
+    assert np.isfinite(out)
     return per_conv, compile_s
 
 

@@ -206,35 +206,27 @@ def main():
 
         cand = timed(s_cand, cidx, cell_pts, label="knn: cand idx gather")
 
-        @jax.jit
-        def s_d2(cand, points, mask):
-            pts_pad = jnp.concatenate([points[0], jnp.zeros((1, 3), points.dtype)],
-                                      axis=0)
-            cpos = pts_pad[cand]
-            d2 = jnp.sum((points[0][:, None, :] - cpos) ** 2, axis=-1)
-            bad = (cand >= f) | (cand == jnp.arange(f, dtype=jnp.int32)[:, None]) | (
-                d2 > args.radius * args.radius) | ~mask[0][:, None]
-            return jnp.where(bad, _BIG, d2)
+        d2full = None
+        if f * 27 * cap <= 2 ** 23:
+            # the naive 3-minor gather pads xyz 3->128 lanes on TPU (42x
+            # memory: [131072, 648, 3] allocated 43GB and OOM'd the r4d
+            # suite) — run it only at small sizes, as a cross-check
+            @jax.jit
+            def s_d2(cand, points, mask):
+                pts_pad = jnp.concatenate(
+                    [points[0], jnp.zeros((1, 3), points.dtype)], axis=0)
+                cpos = pts_pad[cand]
+                d2 = jnp.sum((points[0][:, None, :] - cpos) ** 2, axis=-1)
+                bad = (cand >= f) | (
+                    cand == jnp.arange(f, dtype=jnp.int32)[:, None]) | (
+                    d2 > args.radius * args.radius) | ~mask[0][:, None]
+                return jnp.where(bad, _BIG, d2)
 
-        d2full = timed(s_d2, cand, pts, mask,
-                       label="knn: pos gather + d2 fusion")
-
-        @jax.jit
-        def s_topk(d2full, cand):
-            neg_d, pos = jax.lax.top_k(-d2full, args.knn)
-            idx = jnp.take_along_axis(cand, pos, axis=1)
-            return -neg_d, idx
-
-        timed(s_topk, d2full, cand, label=f"knn: top_k k={args.knn}")
-
-        @jax.jit
-        def s_approx_topk(d2full, cand):
-            neg_d, pos = jax.lax.approx_max_k(-d2full, args.knn,
-                                              recall_target=0.95)
-            idx = jnp.take_along_axis(cand, pos.astype(jnp.int32), axis=1)
-            return -neg_d, idx
-
-        timed(s_approx_topk, d2full, cand, label=f"knn: approx_top_k k={args.knn}")
+            d2full = timed(s_d2, cand, pts, mask,
+                           label="knn: pos gather + d2 fusion (3-minor)")
+        else:
+            print("knn: 3-minor d2 variant skipped (42x lane padding at "
+                  f"fg={f}, cap={cap})", flush=True)
 
         @jax.jit
         def s_d2_flat(cidx, cell_pts, cand, points, mask):
@@ -256,9 +248,28 @@ def main():
 
         d2flat = timed(s_d2_flat, cidx, cell_pts, cand, pts, mask,
                        label="knn: flat 2-hop pos + d2")
-        err = float(jnp.max(jnp.abs(jnp.minimum(d2flat, _BIG) -
-                                    jnp.minimum(d2full, _BIG))))
-        print(f"  flat-vs-pointwise d2 max err: {err:.2e}", flush=True)
+        if d2full is not None:
+            err = float(jnp.max(jnp.abs(jnp.minimum(d2flat, _BIG) -
+                                        jnp.minimum(d2full, _BIG))))
+            print(f"  flat-vs-pointwise d2 max err: {err:.2e}", flush=True)
+
+        @jax.jit
+        def s_topk(d2, cand):
+            neg_d, pos = jax.lax.top_k(-d2, args.knn)
+            idx = jnp.take_along_axis(cand, pos, axis=1)
+            return -neg_d, idx
+
+        timed(s_topk, d2flat, cand, label=f"knn: top_k k={args.knn}")
+
+        @jax.jit
+        def s_approx_topk(d2, cand):
+            neg_d, pos = jax.lax.approx_max_k(-d2, args.knn,
+                                              recall_target=0.95)
+            idx = jnp.take_along_axis(cand, pos.astype(jnp.int32), axis=1)
+            return -neg_d, idx
+
+        timed(s_approx_topk, d2flat, cand,
+              label=f"knn: approx_top_k k={args.knn}")
         del cand, d2full, d2flat, cidx, cell_pts
 
     cell = args.radius * args.cell_factor

@@ -42,6 +42,13 @@ def main():
                          "FSInstSetCriterion; ref train_fs.py bs=8)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="devices for a (data[,model]) mesh (0 = no mesh)")
+    ap.add_argument("--remat", type=int, default=1,
+                    help="jax.checkpoint residual blocks (shipped prod "
+                         "default; 0 = keep all activations, OOMs one v5e "
+                         "chip at prod capacities — ONCHIP_SUITE_r4)")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 level residency (shipped prod default is "
+                         "bf16; no-remat f32 measured 21.2 GB HBM)")
     args = ap.parse_args()
 
     from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
@@ -68,6 +75,8 @@ def main():
         tpu_unet_depth=args.depth,
         tpu_ball_nsample=64,
         tpu_brick_occupancy=args.brick_occupancy,
+        tpu_remat=bool(args.remat),
+        tpu_compute_dtype="float32" if args.f32 else "bfloat16",
         prepare_epochs=120 if args.prepare else 0,
     )
     mesh = None
