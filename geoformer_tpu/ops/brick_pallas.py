@@ -31,8 +31,9 @@ Semantics: identical to dense_subm_conv's conv step (VALID 3^3 conv over
 the halo-padded brick, subm weight layout w[27,Cin,Cout], offset index
 (dz+1)*9+(dy+1)*3+(dx+1) — reference spconv 1.0 SubMConv3d,
 model/geoformer_modules.py:10-129). Occupancy masking and halo padding
-stay with the caller (ops/brick.py). Output is f32 (the kernel accumulates
-f32; callers cast to the level residency dtype).
+stay with the caller (ops/brick.py). The kernel accumulates f32 in a VMEM
+scratch and emits the caller's residency dtype directly (a bf16 level
+never round-trips an f32 copy of itself through HBM).
 
 Falls back to the XLA conv (dense_subm_conv gates on `banded_fits`) when
 no Mosaic-LEGAL split fits VMEM: a lane split must leave a multiple of 128
@@ -50,6 +51,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # selection tensor: sel[kx, r, x] = 1 iff padded-x row-block r feeds output
 # x-block x under tap kx (r = x + kx; kx in 0..2 means dx = kx-1)
@@ -71,12 +73,15 @@ def build_banded_weight(w: jax.Array) -> jax.Array:
     return wb.reshape(9, 10 * cin, 8 * cout)
 
 
-def _fwd_kernel(x_ref, wb_ref, o_ref, *, b0):
+def _fwd_kernel(x_ref, wb_ref, o_ref, acc_ref, *, b0):
     """x [b0, 10z, 10y, 8bricks, 10C] (halo-padded, x/C in lanes, bricks on
-    the sublane), wb [1, 10C, 8Co/split], o [b0, 8, 8, 8, 8Co/split] f32.
+    the sublane), wb [1, 10C, 8Co/split], o [b0, 8, 8, 8, 8Co/split] in the
+    caller's residency dtype, acc: f32 VMEM scratch of o's shape.
     Grid (n_blocks, split, 9): tap-pair index j innermost so the x and o
     blocks stay VMEM-resident across all 9 (kz,ky) matmuls; the split dim
-    blocks OUTPUT lanes so wide banded weights still fit VMEM."""
+    blocks OUTPUT lanes so wide banded weights still fit VMEM. Accumulation
+    is always f32 (scratch); o_ref is written once at the last tap — a bf16
+    o halves the kernel's HBM output vs emitting f32 and casting outside."""
     j = pl.program_id(2)
     kz = j // 3
     ky = j % 3
@@ -88,34 +93,45 @@ def _fwd_kernel(x_ref, wb_ref, o_ref, *, b0):
 
     @pl.when(j == 0)
     def _():
-        o_ref[:] = acc
+        acc_ref[:] = acc
 
     @pl.when(j > 0)
     def _():
-        o_ref[:] += acc
+        acc_ref[:] += acc
+
+    @pl.when(j == 8)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _bwd_kernel(g_ref, wbt_ref, dx_ref, *, b0):
+def _bwd_kernel(g_ref, wbt_ref, dx_ref, acc_ref, *, b0, ks):
     """Transpose pass: g [b0, 8, 8, 8bricks, 8Co/ksplit], wbt
     [1, 8Co/ksplit, 10C] (= wb[j].T K-blocked), dx [b0, 10, 10, 8bricks,
-    10C] f32 accumulated over the 9 tap pairs AND the K blocks.
+    10C] in the residency dtype, acc: f32 VMEM scratch of dx's shape,
+    accumulated over the 9 tap pairs AND the K blocks (written to dx once
+    at the last (k, j) step).
 
     The bwd splits the CONTRACTION dim, not the output lanes: dx's lane
     width 10C is a multiple of 128 at no backbone width, so a lane-blocked
     dx block would be Mosaic-illegal (block last dim must be %128 or the
     full dim) — whereas g's lane width 8Co always splits into %128 pieces."""
+    k = pl.program_id(1)
     j = pl.program_id(2)
     kz = j // 3
     ky = j % 3
 
-    @pl.when((j == 0) & (pl.program_id(1) == 0))
+    @pl.when((j == 0) & (k == 0))
     def _():
-        dx_ref[:] = jnp.zeros_like(dx_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     g = g_ref[:].reshape(b0 * 512, g_ref.shape[-1])
     d = jnp.dot(g, wbt_ref[0], preferred_element_type=jnp.float32)
-    d = d.reshape(b0, 8, 8, 8, dx_ref.shape[-1])
-    dx_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :, :] += d
+    d = d.reshape(b0, 8, 8, 8, acc_ref.shape[-1])
+    acc_ref[:, pl.ds(kz, 8), pl.ds(ky, 8), :, :] += d
+
+    @pl.when((j == 8) & (k == ks - 1))
+    def _():
+        dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
 
 def _lane_splits(lanes: int):
@@ -141,8 +157,9 @@ def _plan(n8: int, in_rows: int, in_lanes: int, out_rows: int,
           bytes_per: int):
     """Joint (split, b0) choice: smallest legal split of `split_lanes` and
     largest brick group whose working set fits VMEM. Streamed inputs and
-    weight slices double-buffer; the output block is revisited across the
-    inner grid dims (single copy). Returns (split, b0) or None."""
+    weight slices double-buffer; the output block and its f32 scratch
+    accumulator are revisited across the inner grid dims (single copy
+    each). Returns (split, b0) or None."""
     for s in _lane_splits(split_lanes):
         w_bytes = w_k * (split_lanes // s) * bytes_per
         in_l = in_lanes if split_lanes != in_lanes else in_lanes // s
@@ -152,7 +169,7 @@ def _plan(n8: int, in_rows: int, in_lanes: int, out_rows: int,
                 continue
             ws = (2 * w_bytes
                   + 2 * b0 * _lane_bytes(in_rows * 8, in_l, bytes_per)
-                  + b0 * _lane_bytes(out_rows * 8, out_l, 4))
+                  + b0 * _lane_bytes(out_rows * 8, out_l, 4 + bytes_per))
             if ws <= _BUDGET:
                 return s, b0
     return None
@@ -191,8 +208,10 @@ def _group_bricks(xm: jax.Array):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def band_conv_padded(xp: jax.Array, w: jax.Array, interpret: bool = False):
     """Halo-padded bricks [N,10,10,10,Cin] (any float dtype), w [27,Cin,Cout]
-    -> [N,8,8,8,Cout] f32. The 3^3 VALID conv of dense_subm_conv as a
-    banded Pallas kernel (see module docstring)."""
+    -> [N,8,8,8,Cout] in xp's dtype (f32 VMEM accumulation either way — a
+    bf16 input emits bf16 directly, halving the kernel's HBM output vs an
+    f32-out + cast-outside pair). The 3^3 VALID conv of dense_subm_conv as
+    a banded Pallas kernel (see module docstring)."""
     return _band_conv_impl(xp, w, interpret)
 
 
@@ -219,7 +238,8 @@ def _band_conv_impl(xp, w, interpret):
         ],
         out_specs=pl.BlockSpec((b0, 8, 8, 8, ob),
                                lambda i, s, j: (i, 0, 0, 0, s)),
-        out_shape=jax.ShapeDtypeStruct((n8, 8, 8, 8, 8 * cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n8, 8, 8, 8, 8 * cout), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((b0, 8, 8, 8, ob), jnp.float32)],
         interpret=interpret,
     )(xg, wb)
     # [N8, 8z, 8y, 8bricks, 8Co] -> [N, 8, 8, 8, Co]
@@ -246,7 +266,7 @@ def _band_conv_bwd(interpret, res, g):
     kb = 8 * cout // ks
     grid = (n8 // b0, ks, 9)
     dxg = pl.pallas_call(
-        functools.partial(_bwd_kernel, b0=b0),
+        functools.partial(_bwd_kernel, b0=b0, ks=ks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((b0, 8, 8, 8, kb),
@@ -255,11 +275,12 @@ def _band_conv_bwd(interpret, res, g):
         ],
         out_specs=pl.BlockSpec((b0, 10, 10, 8, 10 * cin),
                                lambda i, k, j: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n8, 10, 10, 8, 10 * cin), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n8, 10, 10, 8, 10 * cin), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((b0, 10, 10, 8, 10 * cin), jnp.float32)],
         interpret=interpret,
     )(gg, wbt)
     dx = dxg.transpose(0, 3, 1, 2, 4).reshape(n8 * 8, 10, 10, 10, cin)
-    dx = (dx[:n] if pad else dx).astype(xp.dtype)
+    dx = dx[:n] if pad else dx
 
     # dw[kz,ky,kx] = sum_sites xp[.., z+kz, y+ky, x+kx, :]^T @ g — 27 GEMMs
     # in XLA (bwd only; the fwd never pays this)

@@ -470,7 +470,7 @@ def _fast_sweep_orders(ccoords, cmask, cnb, cw, c_cap, cblock, dist, n_steps,
 def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                 positions, n_steps, fine_sweeps=6, cell_factor=2.0,
                 c_cap=None, kc=32, k_sub=16, block_size=512, fine_k=None,
-                coarse_eps=0.0):
+                coarse_eps=0.0, fine_block=None):
     """Two-level geodesic solve: coarse cell-graph fixpoint + prolongation +
     a fixed number of fine sweeps.
 
@@ -529,7 +529,13 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     inv_pad = jnp.concatenate([inv, jnp.full((1,), p, jnp.int32)])
     nb_s = inv_pad[nb[perm]]
     w_s = w[perm]
-    nb2, w2, pp = _pad_edges(nb_s, w_s, p, block_size)
+    # fine_block > block_size trades in-sweep Gauss-Seidel propagation for
+    # fewer sequential block steps (the fine stage is latency-bound: 256
+    # blocks x fwd+bwd x sweeps dependent dispatches at 512). The sweeps
+    # only smooth the coarse prolongation locally, so block-internal Jacobi
+    # at a bigger block suffices — AP-gated in tests/test_geodesic_ap_delta
+    fb = fine_block or block_size
+    nb2, w2, pp = _pad_edges(nb_s, w_s, p, fb)
 
     cdist_pad = jnp.concatenate([cdist[:c_cap], jnp.full((1, q), INF, jnp.float32)])
     p2c_sorted = jnp.where(p2c[perm] < c_cap, p2c[perm], c_cap)
@@ -538,7 +544,7 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     d0 = jnp.pad(d0, ((0, pp - p + 1), (0, 0)), constant_values=INF)
     safe_seeds = jnp.where(seed_mask, inv[safe], pp)
     d0 = d0.at[safe_seeds, seed_cols].min(0.0)
-    dist = _block_sweeps(nb2, w2, d0, fine_sweeps, block_size, early_exit=False)
+    dist = _block_sweeps(nb2, w2, d0, fine_sweeps, fb, early_exit=False)
 
     dist = dist[inv]
     reached = (dist < INF * 0.5) & point_mask[:, None]
@@ -547,20 +553,22 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
 
 def geodesic_distance_hier(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
                            n_steps, positions, fine_sweeps=6, cell_factor=2.0,
-                           kc=32, k_sub=16, fine_k=None, coarse_eps=0.0):
+                           kc=32, k_sub=16, fine_k=None, coarse_eps=0.0,
+                           fine_block=None):
     """Batched two-level approximate geodesics (see _hier_scene).
 
     Same [B,P,Q] / -1 contract as geodesic_distance; `n_steps` bounds the
     coarse solve (it converges and early-exits long before room-scale caps).
     fine_k restricts the fine smoothing sweeps to the nearest fine_k edges
     (None = all). coarse_eps > 0 relaxes the coarse fixpoint exit to
-    "no cell improved by more than eps meters in a cycle".
+    "no cell improved by more than eps meters in a cycle". fine_block
+    overrides the fine-sweep block size (None = block_size default).
     """
     return jax.lax.map(
         lambda a: _hier_scene(
             a[0], a[1], a[2], a[3], a[4], radius, a[5], n_steps,
             fine_sweeps=fine_sweeps, cell_factor=cell_factor, kc=kc, k_sub=k_sub,
-            fine_k=fine_k, coarse_eps=coarse_eps,
+            fine_k=fine_k, coarse_eps=coarse_eps, fine_block=fine_block,
         ),
         (nbr_idx, nbr_dist, seeds, seed_mask, point_mask, positions),
     )

@@ -46,9 +46,10 @@ def test_band_conv_bf16():
     got = band_conv_padded(jnp.asarray(xp32, jnp.bfloat16),
                            jnp.asarray(w32, jnp.bfloat16), True)
     want = _xla_conv(jnp.asarray(xp32), jnp.asarray(w32))
-    assert got.dtype == jnp.float32  # f32 accumulation contract
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=0.1, atol=0.15)
+    # residency-dtype output (f32 VMEM accumulation inside the kernel)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.1, atol=0.15)
 
 
 def test_band_conv_grads_match_xla():
@@ -165,10 +166,11 @@ def test_band_conv_split_matches_xla(cin, cout, dtype):
     w = jnp.asarray(w32, dtype)
     rtol, atol = (2e-4, 2e-4) if dtype == jnp.float32 else (0.1, 0.3)
     got = band_conv_padded(xp, w, True)
+    assert got.dtype == dtype  # residency-dtype output
     # oracle at f32 operand precision (f32 accumulation both sides)
     want = _xla_conv(xp.astype(jnp.float32), w.astype(jnp.float32))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=rtol, atol=atol)
     # grads through the K-split bwd kernel
     cot = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
     gx_p = jax.grad(lambda x: jnp.sum(band_conv_padded(x, w, True) * cot))(xp)

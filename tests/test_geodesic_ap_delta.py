@@ -60,7 +60,7 @@ def make_walled_scene(seed=0, spacing=0.02):
 
 def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
                    window=0, report_drops=False, cell_factor=2.0, kc=32,
-                   coarse_eps=0.0):
+                   coarse_eps=0.0, fine_block=None):
     pts, inst = make_walled_scene()
     f = pts.shape[0]
     mask = np.ones(f, bool)
@@ -88,7 +88,7 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
             nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
             64, jnp.asarray(pts[None]), fine_sweeps=fine_sweeps,
             cell_factor=cell_factor, fine_k=fine_k, kc=kc,
-            coarse_eps=coarse_eps,
+            coarse_eps=coarse_eps, fine_block=fine_block,
         )
     else:
         geo = geodesic_distance(
@@ -150,6 +150,21 @@ def test_hier_fine_k_ap_within_bound():
         fine_sweeps=mc.geodesic_fine_sweeps)
     assert ap50_k >= ap50_exact - 0.05
     assert ap25_k >= ap25_exact - 0.05
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fine_block", [2048, 4096])
+def test_hier_fine_block_ap_within_bound(fine_block):
+    """Candidate fine-sweep block sizes (tpu_geodesic_fine_block — bigger
+    blocks trade in-sweep Gauss-Seidel propagation for ~4-8x fewer
+    sequential block dispatches; the fine stage is latency-bound on chip).
+    Gate: the walled-scene AP bound must hold at the shipped fine_k/sweeps
+    before any on-chip latency win is allowed to flip the default."""
+    ap50_exact, ap25_exact = _ap_for_solver(hier=False)
+    ap50_b, ap25_b = _ap_for_solver(
+        hier=True, fine_k=16, fine_sweeps=4, fine_block=fine_block)
+    assert ap50_b >= ap50_exact - 0.05, (fine_block, ap50_b)
+    assert ap25_b >= ap25_exact - 0.05, (fine_block, ap25_b)
 
 
 @pytest.mark.slow

@@ -41,8 +41,11 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
     x = jnp.asarray(rng.normal(size=(1, nb, BS, BS, BS, cin)), dtype)
     w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
 
+    # plan passed as a TRACED argument: closure-captured plan arrays embed
+    # as program constants, which the r4d run showed distorting the XLA
+    # baseline ~300x vs the same conv inside compile_bisect's unet stage
     @jax.jit
-    def run(x, w):
+    def run(x, w, plan):
         def body(c, _):
             y = dense_subm_conv(c, plan, w, compute_dtype=compute_dtype,
                                 pallas=pallas)
@@ -55,17 +58,32 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
         # the full level tensor measured 3 s of pure transfer per call
         return jnp.sum(y.astype(jnp.float32))
 
+    @jax.jit
+    def run_one(x, w, plan):
+        y = dense_subm_conv(x, plan, w, compute_dtype=compute_dtype,
+                            pallas=pallas)
+        return jnp.sum(y.astype(jnp.float32))
+
     t0 = time.perf_counter()
-    out = float(run(x, w))  # D2H forces completion
+    out = float(run(x, w, plan))  # D2H forces completion
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        float(run(x, w))
+        float(run(x, w, plan))
         times.append(time.perf_counter() - t0)
     per_conv = float(np.median(times)) / reps * 1e3
+    # unamortized cross-check (catches scan-harness artifacts): one conv,
+    # D2H per call — includes the tunnel dispatch floor
+    float(run_one(x, w, plan))
+    times1 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_one(x, w, plan))
+        times1.append(time.perf_counter() - t0)
+    one_ms = float(np.median(times1)) * 1e3
     assert np.isfinite(out)
-    return per_conv, compile_s
+    return per_conv, one_ms, compile_s
 
 
 def main():
@@ -81,13 +99,13 @@ def main():
     for nb, cin, cout in [(4096, 16, 16), (4096, 32, 16), (2048, 32, 32),
                           (1024, 48, 48), (512, 64, 64)]:
         for pallas in (False, True):
-            per_conv, compile_s = bench_level(
+            per_conv, one_ms, compile_s = bench_level(
                 nb, cin, cout, args.occupancy, args.reps, cd, pallas
             )
             tag = "pallas" if pallas else "xla   "
             print(f"NB={nb:5d} C={cin:3d}->{cout:3d} {tag}: "
-                  f"{per_conv:7.2f} ms/conv (compile {compile_s:.1f}s)",
-                  flush=True)
+                  f"{per_conv:7.2f} ms/conv (1-shot {one_ms:.1f} ms, "
+                  f"compile {compile_s:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":

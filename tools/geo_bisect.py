@@ -85,6 +85,7 @@ def main():
     ap.add_argument("--k_sub", type=int, default=16)
     ap.add_argument("--cell_factor", type=float, default=2.0)
     ap.add_argument("--coarse_eps", type=float, default=0.0)
+    ap.add_argument("--fine_block", type=int, default=512)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--stages", type=str, default="all")
     args = ap.parse_args()
@@ -406,7 +407,7 @@ def main():
             inv_pad = jnp.concatenate([inv, jnp.full((1,), f, jnp.int32)])
             nb_s = inv_pad[nb[perm]]
             w_s = w[perm]
-            nb2, w2, pp = _pad_edges(nb_s, w_s, f, 512)
+            nb2, w2, pp = _pad_edges(nb_s, w_s, f, args.fine_block)
             cdist_pad = jnp.concatenate(
                 [cdist[:c_cap], jnp.full((1, q), INF, jnp.float32)])
             p2c_s = jnp.where(p2c[perm] < c_cap, p2c[perm], c_cap)
@@ -417,10 +418,10 @@ def main():
             safe = jnp.clip(seeds[0], 0, f - 1)
             ss = jnp.where(seed_mask[0], inv[safe], pp)
             d0 = d0.at[ss, cols].min(0.0)
-            return _block_sweeps(nb2, w2, d0, args.fine_sweeps, 512)
+            return _block_sweeps(nb2, w2, d0, args.fine_sweeps, args.fine_block)
 
         timed(fine, cdist, nbr, nbr_d, pts, mask, seeds, seed_mask, p2c, to_rep,
-              label=f"fine prolong+{args.fine_sweeps}sw@k{args.fine_k}")
+              label=f"fine prolong+{args.fine_sweeps}sw@k{args.fine_k}b{args.fine_block}")
 
     if "hier" in want:
         @jax.jit
@@ -430,6 +431,7 @@ def main():
                 pts, fine_sweeps=args.fine_sweeps, cell_factor=args.cell_factor,
                 k_sub=args.k_sub, fine_k=args.fine_k or None,
                 coarse_eps=args.coarse_eps,
+                fine_block=args.fine_block or None,
             )
 
         timed(hier, nbr, nbr_d, seeds, seed_mask, mask, pts, label="hier solve (full)")
