@@ -117,10 +117,6 @@ class ModelConfig:
     brick_occupancy: int = 32
     # bf16 compute in the sparse-conv path (gathers + GEMMs; fp32 accum)
     bf16: bool = False
-    # banded VMEM-resident Pallas kernel for the brick convs
-    # (ops/brick_pallas.py); engages only on a TPU backend, XLA elsewhere.
-    # keep in sync with utils/config.py tpu_brick_pallas
-    brick_pallas: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
     remat: bool = False
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
@@ -190,7 +186,6 @@ class ModelConfig:
             subm_k=cfg.tpu_subm_k,
             brick_occupancy=cfg.tpu_brick_occupancy,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
-            brick_pallas=cfg.tpu_brick_pallas,
             remat=cfg.tpu_remat,
         )
 
@@ -293,7 +288,7 @@ class GeoFormerBase(nn.Module):
         self.backbone = SparseUNetBackbone(
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
-            remat=mc.remat, pallas_conv=mc.brick_pallas, name="backbone",
+            remat=mc.remat, name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [

@@ -47,25 +47,24 @@ class _LevelCtx:
 
     Registered as a pytree so it can flow through nn.remat."""
 
-    def __init__(self, brick, nbr, mask, pallas=True):
+    def __init__(self, brick, nbr, mask):
         self.brick = brick
         self.nbr = nbr
         self.mask = mask
-        self.pallas = pallas
 
     @classmethod
-    def for_level(cls, plan: GridPlan, lvl: int, pallas: bool = True):
+    def for_level(cls, plan: GridPlan, lvl: int):
         if plan.bricks:
-            return cls(plan.bricks[lvl], None, plan.bricks[lvl].occ, pallas)
+            return cls(plan.bricks[lvl], None, plan.bricks[lvl].occ)
         nbr = plan.subm_compact[lvl] if plan.subm_compact else plan.subm[lvl]
-        return cls(None, nbr, plan.grids[lvl].voxel_mask, pallas)
+        return cls(None, nbr, plan.grids[lvl].voxel_mask)
 
     def tree_flatten(self):
-        return (self.brick, self.nbr, self.mask), self.pallas
+        return (self.brick, self.nbr, self.mask), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, pallas=aux)
+        return cls(*children)
 
     def enter(self, x_sparse):
         return to_dense(x_sparse, self.brick) if self.brick is not None else x_sparse
@@ -76,8 +75,7 @@ class _LevelCtx:
     def conv(self, x_rep, w, compute_dtype=None):
         if self.brick is not None:
             return dense_subm_conv(x_rep, self.brick, w,
-                                   compute_dtype=compute_dtype,
-                                   pallas=self.pallas)
+                                   compute_dtype=compute_dtype)
         return apply_subm(x_rep, self.nbr, w, compute_dtype=compute_dtype)
 
 
@@ -162,7 +160,6 @@ class UBlock(nn.Module):
     compute_dtype: object = None
     remat: bool = False
     rep_io: bool = False  # in/out are level-rep (dense bricks), not sparse
-    pallas_conv: bool = True
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
@@ -171,7 +168,7 @@ class UBlock(nn.Module):
         (dense bricks in brick mode). Internally the level may be
         brick-dense (_LevelCtx)."""
         lvl = self.level
-        ctx = _LevelCtx.for_level(plan, lvl, self.pallas_conv)
+        ctx = _LevelCtx.for_level(plan, lvl)
         vmask = plan.grids[lvl].voxel_mask
         c0 = self.n_planes[0]
         # brick-native transitions: down/up convs run in brick space, so
@@ -214,7 +211,6 @@ class UBlock(nn.Module):
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 rep_io=native,
-                pallas_conv=self.pallas_conv,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -262,7 +258,6 @@ class SparseUNetBackbone(nn.Module):
     block_reps: int = 2
     compute_dtype: object = None
     remat: bool = False
-    pallas_conv: bool = True
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -282,13 +277,12 @@ class SparseUNetBackbone(nn.Module):
                 # traffic and every level buffer after it
                 voxel_feats = voxel_feats.astype(self.compute_dtype)
             xd = to_dense(voxel_feats, bp0)
-            xd = dense_subm_conv(xd, bp0, w_in, compute_dtype=self.compute_dtype,
-                                 pallas=self.pallas_conv)
+            xd = dense_subm_conv(xd, bp0, w_in,
+                                 compute_dtype=self.compute_dtype)
             xd = jnp.where(bp0.occ[..., None], xd, 0.0)
             xd = UBlock(planes, self.block_reps, True, level=0,
                         compute_dtype=self.compute_dtype, remat=self.remat,
-                        rep_io=True, pallas_conv=self.pallas_conv,
-                        name="unet")(xd, plan, train)
+                        rep_io=True, name="unet")(xd, plan, train)
             x = from_dense(xd, bp0)
         else:
             if plan.bricks:
@@ -301,7 +295,7 @@ class SparseUNetBackbone(nn.Module):
             x = jnp.where(vmask0[..., None], x, 0.0)
             x = UBlock(planes, self.block_reps, True, level=0,
                        compute_dtype=self.compute_dtype, remat=self.remat,
-                       pallas_conv=self.pallas_conv, name="unet")(x, plan, train)
+                       name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)

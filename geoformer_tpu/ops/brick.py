@@ -31,7 +31,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from geoformer_tpu.ops.brick_pallas import band_conv_padded, banded_fits
 from geoformer_tpu.ops.voxelize import VoxelGrid, pack_key, unpack_key, voxelize
 
 BS = 8  # brick side (cells); 8^3 = 512 cells per brick
@@ -151,8 +150,7 @@ def from_dense(dense: jax.Array, plan: BrickPlan) -> jax.Array:
 
 
 def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
-                    precision=None, compute_dtype=None,
-                    pallas: bool = True) -> jax.Array:
+                    precision=None, compute_dtype=None) -> jax.Array:
     """Submanifold 3^3 conv on level-resident dense bricks.
 
     dense [B,NB,8,8,8,Cin], w [27,Cin,Cout] (subm_conv layout) ->
@@ -161,10 +159,15 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
     cells nonzero), and the output is NOT masked (read it through
     `from_dense`/occ).
 
-    pallas=True routes the conv through the banded VMEM-resident kernel
-    (ops/brick_pallas.py) when running on a TPU backend and the banded
-    weight fits VMEM; the XLA `conv_general_dilated` below is the portable
-    path and the exactness oracle (tests/test_brick_pallas.py)."""
+    The conv is XLA `conv_general_dilated` on the halo-padded bricks. A
+    banded VMEM-resident Pallas kernel of the same conv (one [b0*512,10C]
+    x [10C,8C'] matmul per (dz,dy) tap pair, padded input read from HBM
+    once) measured 2-2.5x SLOWER than this XLA conv at every backbone
+    width on TPU v5e, both f32 and bf16 (ONCHIP_SUITE_r4.log suite r4e,
+    tools/brick_kernel_bench.py) — XLA's conv emitter already pipelines
+    the taps without materializing the 27x patch tensor, and the kernel's
+    9-step sequential grid revisiting the output block beats it on
+    neither bandwidth nor MXU occupancy. Deleted in r4; see DESIGN.md."""
     cin, cout = w.shape[1], w.shape[2]
     nb = plan.num_bricks
     # kernel [kz,ky,kx,Cin,Cout]: offset o=(dz,dy,dx) means "input at
@@ -183,20 +186,6 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
     # conv transpose rule under grad (mismatched cotangent dtype)
     preferred = jnp.float32 if compute_dtype is None else None
     dense = jnp.where(plan.occ[..., None], dense, 0)
-
-    if (
-        pallas
-        and jax.default_backend() in ("tpu", "axon")
-        and banded_fits(cin, cout, dense.dtype.itemsize)
-    ):
-        padded = jax.vmap(lambda d, nbr: _halo_pad_scene(d, nbr, nb))(
-            dense, plan.nbr
-        )  # [B, NB, 10,10,10, Cin]
-        b = padded.shape[0]
-        out = band_conv_padded(
-            padded.reshape(b * nb, 10, 10, 10, cin), w.astype(dense.dtype)
-        ).reshape(b, nb, 8, 8, 8, cout)
-        return out if compute_dtype is None else out.astype(compute_dtype)
 
     def scene(d, nbr):
         padded = _halo_pad_scene(d, nbr, nb)

@@ -108,12 +108,6 @@ _DEFAULTS = dict(
     save_fg=False,
     # --- TPU static-shape capacities (ours; no reference equivalent) ---
     tpu_bf16=False,
-    # banded VMEM-resident Pallas kernel for the dense-brick subm convs
-    # (ops/brick_pallas.py). Even when True it engages only on a TPU
-    # backend and where the banded weight fits VMEM. Default False pending
-    # the on-chip A/B (tools/brick_kernel_bench.py) — flip with the
-    # measurement in BASELINE.md
-    tpu_brick_pallas=False,
     tpu_remat=False,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""A/B the banded Pallas brick conv vs the XLA conv at backbone shapes.
+"""Per-level brick conv microbenchmark at prod backbone shapes.
 
-Times dense_subm_conv (halo pad + conv) with pallas on/off, amortized in a
-scan inside one jit (every timing D2H-observed; the tunnel's
-block_until_ready is a no-op). Shapes mirror the prod backbone levels:
-NB bricks at the level's channel width.
+Times dense_subm_conv (halo pad + conv), amortized in a scan inside one
+jit (every timing D2H-observed; the tunnel's block_until_ready is a
+no-op). Shapes mirror the prod backbone levels: NB bricks at the level's
+channel width. This tool A/B'd the banded Pallas brick kernel in r4: the
+kernel measured 2-2.5x SLOWER than XLA at every width (both dtypes,
+ONCHIP_SUITE_r4.log suite r4e) and was deleted — see DESIGN.md.
 
 Usage: python tools/brick_kernel_bench.py [--reps 8] [--bf16]
 """
@@ -19,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
+def bench_level(nb, cin, cout, occupancy, reps, compute_dtype):
     from geoformer_tpu.ops.brick import BS, build_brick_plan, dense_subm_conv
     from geoformer_tpu.ops.voxelize import voxelize
 
@@ -47,8 +49,7 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
     @jax.jit
     def run(x, w, plan):
         def body(c, _):
-            y = dense_subm_conv(c, plan, w, compute_dtype=compute_dtype,
-                                pallas=pallas)
+            y = dense_subm_conv(c, plan, w, compute_dtype=compute_dtype)
             if cout != cin:  # keep the scan carry shape (tile channels back)
                 y = jnp.concatenate([y] * (cin // cout), axis=-1)
             return y.astype(c.dtype), ()
@@ -60,8 +61,7 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, pallas):
 
     @jax.jit
     def run_one(x, w, plan):
-        y = dense_subm_conv(x, plan, w, compute_dtype=compute_dtype,
-                            pallas=pallas)
+        y = dense_subm_conv(x, plan, w, compute_dtype=compute_dtype)
         return jnp.sum(y.astype(jnp.float32))
 
     t0 = time.perf_counter()
@@ -98,14 +98,12 @@ def main():
     # prod backbone levels: (NB, C) — level tails run 2C -> C
     for nb, cin, cout in [(4096, 16, 16), (4096, 32, 16), (2048, 32, 32),
                           (1024, 48, 48), (512, 64, 64)]:
-        for pallas in (False, True):
-            per_conv, one_ms, compile_s = bench_level(
-                nb, cin, cout, args.occupancy, args.reps, cd, pallas
-            )
-            tag = "pallas" if pallas else "xla   "
-            print(f"NB={nb:5d} C={cin:3d}->{cout:3d} {tag}: "
-                  f"{per_conv:7.2f} ms/conv (1-shot {one_ms:.1f} ms, "
-                  f"compile {compile_s:.1f}s)", flush=True)
+        per_conv, one_ms, compile_s = bench_level(
+            nb, cin, cout, args.occupancy, args.reps, cd
+        )
+        print(f"NB={nb:5d} C={cin:3d}->{cout:3d} xla: "
+              f"{per_conv:7.2f} ms/conv (1-shot {one_ms:.1f} ms, "
+              f"compile {compile_s:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
