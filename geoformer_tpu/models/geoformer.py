@@ -72,9 +72,9 @@ class ModelConfig:
     # F // 2 cell slots never bind and the per-cell window lookup sort
     # halves; 1 = exact for any input
     radius_cell_div: int = 2
-    geodesic_int16: bool = True
-    geodesic_steps_train: int = 128
-    geodesic_steps_eval: int = 256
+    geodesic_int16: bool = False  # keep in sync with utils/config.py
+    geodesic_steps_train: int = 32   # keep in sync with utils/config.py
+    geodesic_steps_eval: int = 64    # keep in sync with utils/config.py
     # two-level geodesic solve (ops/geodesic.py:_hier_scene): ~7-10x faster
     # at eval scale, O(cell)-approximate (the reference field is itself a
     # capped first-visit BFS approximation, geodesic_utils.py:91-164)
@@ -101,8 +101,8 @@ class ModelConfig:
     # Exact (identical candidate set). keep in sync with utils/config.py
     knn_cellwin: bool = False
     ball_nsample: int = 64
-    test_score_thresh: float = 0.5
-    test_npoint_thresh: int = 100
+    test_score_thresh: float = 0.1  # keep in sync with config TEST_SCORE_THRESH
+    test_npoint_thresh: int = 50    # keep in sync with config TEST_NPOINT_THRESH
     similarity_thresh: float = 0.5
     # live-packed subm slot count (27 = exact/off). Surface scans peak ~18
     # live neighbors so 20 would be lossless, but the one-hot weight
