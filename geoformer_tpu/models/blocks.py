@@ -16,17 +16,44 @@ import jax.numpy as jnp
 
 
 class MaskedBatchNorm(nn.Module):
-    """BatchNorm over all leading axes, masked. x [..., C], mask [...]."""
+    """BatchNorm over all leading axes, masked. x [..., C], mask [...].
+
+    fold_segs: x-folded brick input (ops/brick.py fold_x) — x is
+    [..., sum(8*c)] with the brick x axis folded into lanes and mask is
+    the SITE occupancy [..., 8]. Stats/params stay [sum(segs)] (identical
+    to the unfolded module — checkpoints interchange), computed via
+    lane-group reductions so the folded tensor never unfolds."""
 
     features: int
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     eps: float = 1e-4
     use_scale_bias: bool = True
+    fold_segs: tuple = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        segs = self.fold_segs
+        if segs is not None:
+            assert sum(segs) == self.features, (segs, self.features)
+
+            def lane_to_c(v):  # [sum(8c)] -> [sum(c)] (sum over x groups)
+                out, off = [], 0
+                for c in segs:
+                    out.append(v[off:off + 8 * c].reshape(8, c).sum(0))
+                    off += 8 * c
+                return jnp.concatenate(out)
+
+            def c_to_lane(v):  # [sum(c)] -> [sum(8c)] (x-major broadcast)
+                out, off = [], 0
+                for c in segs:
+                    out.append(jnp.tile(v[off:off + c], 8))
+                    off += c
+                return jnp.concatenate(out)
+        else:
+            lane_to_c = c_to_lane = lambda v: v
 
         # bf16-resident inputs (the brick-dense U-Net levels): stats MUST
         # accumulate in f32 (a bf16 sum over ~10^6 elements loses the batch
@@ -35,23 +62,32 @@ class MaskedBatchNorm(nn.Module):
         # residency holds
         xd = x.dtype
         xf = x.astype(jnp.float32)
+        lead = tuple(range(x.ndim - 1))
         if train:
-            m = mask.astype(jnp.float32)[..., None]
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / n
-            var = jnp.sum(m * (xf - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
+            mf = mask.astype(jnp.float32)
+            if segs is not None:
+                m = jnp.concatenate(
+                    [jnp.repeat(mf, c, axis=-1) for c in segs], axis=-1)
+                n = jnp.maximum(jnp.sum(mf), 1.0)
+            else:
+                m = mf[..., None]
+                n = jnp.maximum(jnp.sum(mf), 1.0)
+            mean = lane_to_c(jnp.sum(xf * m, axis=lead)) / n
+            mean_l = c_to_lane(mean)
+            var = lane_to_c(jnp.sum(m * (xf - mean_l) ** 2, axis=lead)) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+            mean_l = c_to_lane(mean)
 
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean_l) * c_to_lane(jax.lax.rsqrt(var + self.eps))
         if self.use_scale_bias:
             scale = self.param("scale", nn.initializers.ones, (self.features,))
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y * scale + bias
+            y = y * c_to_lane(scale) + c_to_lane(bias)
         return y.astype(xd)
 
 

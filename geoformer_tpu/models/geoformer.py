@@ -119,6 +119,11 @@ class ModelConfig:
     bf16: bool = False
     # jax.checkpoint residual blocks during training (memory for FLOPs)
     remat: bool = False
+    # x-folded brick levels with c0 <= this (0 = off): narrow-channel
+    # levels pad 16-lane buffers 8x under XLA (8,128) tiling; folding the
+    # brick x axis into lanes tiles exactly (ops/brick.py fold_x).
+    # keep in sync with utils/config.py tpu_brick_fold_max_c
+    brick_fold_max_c: int = 0
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
     # off, and outputs are stop_gradient'ed (matches requires_grad=False +
     # .eval() + no_grad contexts, geoformer.py:167-184,531,552)
@@ -187,6 +192,7 @@ class ModelConfig:
             brick_occupancy=cfg.tpu_brick_occupancy,
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
+            brick_fold_max_c=cfg.tpu_brick_fold_max_c,
         )
 
 
@@ -288,7 +294,8 @@ class GeoFormerBase(nn.Module):
         self.backbone = SparseUNetBackbone(
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
-            remat=mc.remat, name="backbone",
+            remat=mc.remat, fold_max_c=mc.brick_fold_max_c,
+            name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")
         self.mask_tower = [

@@ -19,10 +19,15 @@ import jax.numpy as jnp
 
 from geoformer_tpu.models.blocks import MaskedBatchNorm, MultiHeadSelfAttention, SimpleNorm, masked_softmax
 from geoformer_tpu.ops.brick import (
+    dense_1x1_folded,
     dense_subm_conv,
+    dense_subm_conv_folded,
     down_conv_bricks,
+    fold_mask,
+    fold_x,
     from_dense,
     to_dense,
+    unfold_x,
     up_conv_bricks,
 )
 from geoformer_tpu.ops.sparse_conv import GridPlan, apply_subm, dense_1x1, down_conv, subm_conv, up_conv
@@ -72,7 +77,12 @@ class _LevelCtx:
     def exit(self, x_rep):
         return from_dense(x_rep, self.brick) if self.brick is not None else x_rep
 
-    def conv(self, x_rep, w, compute_dtype=None):
+    def conv(self, x_rep, w, compute_dtype=None, segs=None):
+        if segs is not None:
+            # x-folded level residency (ops/brick.py): x_rep is
+            # [B,NB,8,8,sum(8c)], only valid in brick mode
+            return dense_subm_conv_folded(x_rep, self.brick, w, segs,
+                                          compute_dtype=compute_dtype)
         if self.brick is not None:
             return dense_subm_conv(x_rep, self.brick, w,
                                    compute_dtype=compute_dtype)
@@ -85,10 +95,15 @@ class ResidualBlock(nn.Module):
     in_channels: int
     out_channels: int
     compute_dtype: object = None  # bf16 halves gather traffic, fp32 accum
+    # x-folded level residency: input lane segments (None = standard).
+    # Params are layout-independent — checkpoints interchange.
+    fold_segs: tuple = None
 
     @nn.compact
     def __call__(self, feats, ctx, train: bool):
         vmask = ctx.mask
+        segs = self.fold_segs
+        out_segs = (self.out_channels,) if segs is not None else None
         if self.in_channels == self.out_channels:
             identity = feats
         else:
@@ -98,19 +113,24 @@ class ResidualBlock(nn.Module):
                 (self.in_channels, self.out_channels),
             )
             # keep the identity branch in the level's residency dtype
-            identity = dense_1x1(
-                feats.reshape(feats.shape[0], -1, feats.shape[-1]),
-                wi.astype(feats.dtype),
-            ).astype(feats.dtype).reshape(feats.shape[:-1] + (self.out_channels,))
-        x = MaskedBatchNorm(self.in_channels)(feats, vmask, train)
+            if segs is not None:
+                identity = dense_1x1_folded(feats, wi.astype(feats.dtype), segs)
+            else:
+                identity = dense_1x1(
+                    feats.reshape(feats.shape[0], -1, feats.shape[-1]),
+                    wi.astype(feats.dtype),
+                ).astype(feats.dtype).reshape(feats.shape[:-1] + (self.out_channels,))
+        x = MaskedBatchNorm(self.in_channels, fold_segs=segs)(feats, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv1", self.in_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype)
-        x = MaskedBatchNorm(self.out_channels)(x, vmask, train)
+                     compute_dtype=self.compute_dtype, segs=segs)
+        x = MaskedBatchNorm(self.out_channels, fold_segs=out_segs)(x, vmask, train)
         x = nn.relu(x)
         x = ctx.conv(x, _subm_param(self, "conv2", self.out_channels, self.out_channels),
-                     compute_dtype=self.compute_dtype)
+                     compute_dtype=self.compute_dtype, segs=out_segs)
         x = x + identity
+        if segs is not None:
+            return jnp.where(fold_mask(vmask, out_segs), x, 0.0)
         return jnp.where(vmask[..., None], x, 0.0)
 
 
@@ -160,13 +180,17 @@ class UBlock(nn.Module):
     compute_dtype: object = None
     remat: bool = False
     rep_io: bool = False  # in/out are level-rep (dense bricks), not sparse
+    # fold the brick x axis into lanes for levels with c0 <= fold_max_c
+    # (0 = off): narrow-channel levels pad their 16-lane buffers 8x under
+    # XLA's (8,128) tiling; folded levels tile exactly (ops/brick.py)
+    fold_max_c: int = 0
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
         """feats: sparse [B, V_lvl, C] in; sparse [B, V_lvl, c0] out —
         unless rep_io, in which case both are the level representation
-        (dense bricks in brick mode). Internally the level may be
-        brick-dense (_LevelCtx)."""
+        (dense bricks in brick mode; the fold is internal to the level).
+        Internally the level may be brick-dense (_LevelCtx)."""
         lvl = self.level
         ctx = _LevelCtx.for_level(plan, lvl)
         vmask = plan.grids[lvl].voxel_mask
@@ -174,6 +198,7 @@ class UBlock(nn.Module):
         # brick-native transitions: down/up convs run in brick space, so
         # recursion stays dense end-to-end (no sparse<->dense per level)
         native = bool(plan.brick_links)
+        fold = bool(native and self.fold_max_c and c0 <= self.fold_max_c)
         # rematerialize residual blocks during training to trade FLOPs for
         # HBM (jax.checkpoint; reference has no analog — torch keeps all
         # activations and OOM-guards with empty_cache, train.py:49)
@@ -184,16 +209,24 @@ class UBlock(nn.Module):
         )
 
         x = feats if self.rep_io else ctx.enter(feats)
+        cin0 = x.shape[-1]
+        if fold:
+            x = fold_x(x)
         for i in range(self.block_reps):
-            cin = x.shape[-1] if i == 0 else c0
-            x = Block(cin, c0, self.compute_dtype, name=f"block{i}")(x, ctx, train)
+            cin = cin0 if i == 0 else c0
+            segs = ((cin,) if fold else None)
+            x = Block(cin, c0, self.compute_dtype, segs,
+                      name=f"block{i}")(x, ctx, train)
 
         if len(self.n_planes) > 1:
             c1 = self.n_planes[1]
             identity = x
             # down: BN, ReLU, SparseConv3d k2s2
-            d = MaskedBatchNorm(c0, name="conv_bn")(x, ctx.mask, train)
+            d = MaskedBatchNorm(c0, fold_segs=(c0,) if fold else None,
+                                name="conv_bn")(x, ctx.mask, train)
             d = nn.relu(d)
+            if fold:
+                d = unfold_x(d, c0)
             wd = self.param(
                 "conv_w", nn.initializers.variance_scaling(1.0, "fan_in", "normal"), (8, c0, c1)
             )
@@ -211,6 +244,7 @@ class UBlock(nn.Module):
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 rep_io=native,
+                fold_max_c=self.fold_max_c,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -225,18 +259,26 @@ class UBlock(nn.Module):
                 u = up_conv_bricks(u, plan.brick_links[lvl], wu,
                                    compute_dtype=self.compute_dtype)
                 u = jnp.where(ctx.mask[..., None], u, 0.0)
+                if fold:
+                    u = fold_x(u)
             else:
                 u = up_conv(u, plan.links[lvl], wu, compute_dtype=self.compute_dtype)
                 u = jnp.where(vmask[..., None], u, 0.0)
                 u = ctx.enter(u)
 
+            # folded concat is a plain lane concat: segments (c0, c0) — the
+            # banded kernel/BN consume the segmented layout directly
             x = jnp.concatenate([identity, u], axis=-1)
             for i in range(self.block_reps):
                 cin = c0 * (2 - i)
-                x = Block(cin, c0, self.compute_dtype, name=f"block_tail{i}")(x, ctx, train)
+                segs = (((c0,) * (2 - i)) if fold else None)
+                x = Block(cin, c0, self.compute_dtype, segs,
+                          name=f"block_tail{i}")(x, ctx, train)
 
         if len(self.n_planes) <= 2 and self.use_backbone_transformer:
             d_model = 128
+            if fold:
+                x = unfold_x(x, c0)
             x = ctx.exit(x)
             xyz = plan.grids[lvl].voxel_coords.astype(jnp.float32)
             h = nn.Dense(d_model, name="before_transformer_linear")(x)
@@ -245,6 +287,8 @@ class UBlock(nn.Module):
             x = jnp.where(vmask[..., None], x, 0.0)
             return ctx.enter(x) if self.rep_io else x
 
+        if fold:
+            x = unfold_x(x, c0)
         return x if self.rep_io else ctx.exit(x)
 
 
@@ -258,6 +302,7 @@ class SparseUNetBackbone(nn.Module):
     block_reps: int = 2
     compute_dtype: object = None
     remat: bool = False
+    fold_max_c: int = 0  # x-folded levels with c0 <= this (0 = off)
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -282,7 +327,8 @@ class SparseUNetBackbone(nn.Module):
             xd = jnp.where(bp0.occ[..., None], xd, 0.0)
             xd = UBlock(planes, self.block_reps, True, level=0,
                         compute_dtype=self.compute_dtype, remat=self.remat,
-                        rep_io=True, name="unet")(xd, plan, train)
+                        rep_io=True, fold_max_c=self.fold_max_c,
+                        name="unet")(xd, plan, train)
             x = from_dense(xd, bp0)
         else:
             if plan.bricks:
@@ -295,7 +341,7 @@ class SparseUNetBackbone(nn.Module):
             x = jnp.where(vmask0[..., None], x, 0.0)
             x = UBlock(planes, self.block_reps, True, level=0,
                        compute_dtype=self.compute_dtype, remat=self.remat,
-                       name="unet")(x, plan, train)
+                       fold_max_c=self.fold_max_c, name="unet")(x, plan, train)
 
         x = MaskedBatchNorm(self.m, name="output_bn")(x, vmask0, train)
         x = nn.relu(x)

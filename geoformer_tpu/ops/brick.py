@@ -213,6 +213,153 @@ def _halo_pad_axis(x, nbr, lo_slot, hi_slot, axis):
     return jnp.concatenate([lo_face, x, hi_face], axis=axis)
 
 
+# ---------------------------------------------------------------------------
+# x-folded level residency
+#
+# XLA tiles the two minor dims of every buffer to (8 sublanes, 128 lanes):
+# a level tensor [B,NB,8,8,8,C] at C=16 pads its lane dim 16 -> 128, an 8x
+# physical expansion of EVERY buffer in the conv chain (measured: the
+# B=2 prod train step's OOM dump shows bf16[2,4096,8,8,8,16] buffers at
+# "8.0x expansion", 128 MB -> 1 GB each; the halo-pad chain materializes
+# three such buffers per conv, which is why a level-0 conv costs ~9 ms
+# against a ~0.3 ms roofline, ONCHIP_SUITE_r4.log). Folding the brick x
+# axis into the channel lanes — [B,NB,8z,8y, 8x*C] — makes the lane dim
+# 8*C (= exactly 128 at C=16), eliminating the padding. The 3^3 conv then
+# runs as a 2D conv over (z,y) with a block-banded [3,3,10C,8C] kernel
+# (x taps become lane-block offsets; ~3.3x band-zero FLOPs the MXU
+# absorbs). The fold is LEVEL-resident: fold once per level, every conv /
+# BN / ReLU / residual / concat runs folded, unfold once at the level's
+# transitions — the r3 XLA-banded and r4 Pallas-banded attempts both paid
+# a full-tensor relayout per conv, which is where their wins went.
+#
+# Folded tensors carry a static `segs` tuple: lane layout is the
+# concatenation over segments s of x-major blocks [x*C_s + c]. A channel
+# concat of two folded tensors is then a plain lane concat with
+# segs = segs_a + segs_b (no relayout); the banded kernel builder and the
+# masked BN understand the segmented layout directly.
+# ---------------------------------------------------------------------------
+
+
+def fold_x(dense: jax.Array) -> jax.Array:
+    """[B,NB,8,8,8,C] -> [B,NB,8,8,8*C] (x-major lane fold; segs=(C,))."""
+    b, nb, _, _, _, c = dense.shape
+    return dense.reshape(b, nb, BS, BS, BS * c)
+
+
+def unfold_x(folded: jax.Array, c: int) -> jax.Array:
+    """Inverse of fold_x for a single-segment tensor."""
+    b, nb, _, _, _ = folded.shape
+    return folded.reshape(b, nb, BS, BS, BS, c)
+
+
+def fold_mask(occ: jax.Array, segs) -> jax.Array:
+    """Site occupancy [...,8] -> folded lane mask [..., sum(8*c)]."""
+    return jnp.concatenate(
+        [jnp.repeat(occ, c, axis=-1) for c in segs], axis=-1
+    )
+
+
+def build_banded_kernel(w: jax.Array, segs) -> jax.Array:
+    """Subm weight [27, sum(segs), Cout] -> banded 2D kernel
+    [3, 3, sum(10*c), 8*Cout] for the folded conv.
+
+    Row (seg, xi, ci) of the kernel feeds output lane (xo, co) with
+    w[(kz,ky,kx=xi-xo)][ci,co] when 0 <= xi-xo <= 2, else 0 — the VALID 2D
+    conv over (z,y) of the halo-padded folded tensor then equals the VALID
+    3D conv of dense_subm_conv exactly (same tap orientation: offset
+    (dz,dy,dx) -> tap (dz+1,dy+1,dx+1))."""
+    cin = sum(segs)
+    cout = w.shape[2]
+    wk = w.reshape(3, 3, 3, cin, cout)
+    rows = []
+    off = 0
+    for c in segs:
+        wseg = wk[..., off:off + c, :].reshape(3, 3, 3 * c, cout)
+        cols = [
+            jnp.pad(wseg, ((0, 0), (0, 0), (xo * c, (7 - xo) * c), (0, 0)))
+            for xo in range(8)
+        ]
+        rows.append(jnp.stack(cols, axis=3))  # [3,3,10c,8,cout]
+        off += c
+    band = jnp.concatenate(rows, axis=2)  # [3,3,sum(10c),8,cout]
+    return band.reshape(3, 3, -1, 8 * cout)
+
+
+def _halo_pad_folded_x(x, nbr, segs):
+    """Lane-space x halo: [NB,10,10,sum(8c)] -> [NB,10,10,sum(10c)].
+
+    Per segment, the -x neighbor's xi=7 lane block prepends and the +x
+    neighbor's xi=0 block appends (faces sliced BEFORE the row gather, as
+    in _halo_pad_axis)."""
+    lo_slot = _axis_offset_index(0, 0, -1)
+    hi_slot = _axis_offset_index(0, 0, 1)
+    zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    xp = jnp.concatenate([x, zero], axis=0)
+    out = []
+    off = 0
+    for c in segs:
+        body = x[..., off:off + 8 * c]
+        lo = xp[..., off + 7 * c:off + 8 * c][nbr[:, lo_slot]]
+        hi = xp[..., off:off + c][nbr[:, hi_slot]]
+        out.append(jnp.concatenate([lo, body, hi], axis=-1))
+        off += 8 * c
+    return jnp.concatenate(out, axis=-1)
+
+
+def dense_subm_conv_folded(folded: jax.Array, plan: BrickPlan, w: jax.Array,
+                           segs, precision=None,
+                           compute_dtype=None) -> jax.Array:
+    """dense_subm_conv on an x-folded level tensor.
+
+    folded [B,NB,8,8,sum(8c)] (lane layout per `segs`), w [27,sum(segs),
+    Cout] -> [B,NB,8,8,8*Cout] (segs=(Cout,)). Semantics identical to
+    dense_subm_conv (input masked to occupancy, output unmasked); pinned
+    against it in tests/test_brick_fold.py."""
+    segs = tuple(segs)
+    assert sum(segs) == w.shape[1], (segs, w.shape)
+    cout = w.shape[2]
+    band = build_banded_kernel(w, segs)
+    if compute_dtype is not None:
+        folded = folded.astype(compute_dtype)
+        band = band.astype(compute_dtype)
+    preferred = jnp.float32 if compute_dtype is None else None
+    folded = jnp.where(fold_mask(plan.occ, segs), folded, 0)
+
+    def scene(f, nbr):
+        p = _halo_pad_axis(f, nbr, _axis_offset_index(-1, 0, 0),
+                           _axis_offset_index(1, 0, 0), axis=1)
+        p = _halo_pad_axis(p, nbr, _axis_offset_index(0, -1, 0),
+                           _axis_offset_index(0, 1, 0), axis=2)
+        p = _halo_pad_folded_x(p, nbr, segs)  # [NB,10,10,sum(10c)]
+        return jax.lax.conv_general_dilated(
+            p, band,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+            preferred_element_type=preferred,
+        )  # [NB, 8, 8, 8*Cout]
+
+    return jax.vmap(scene)(folded, plan.nbr)
+
+
+def dense_1x1_folded(folded: jax.Array, wi: jax.Array, segs) -> jax.Array:
+    """1x1 (channel-mix) conv on a folded tensor: [...,sum(8c)] @ block
+    matrix -> [...,8*Cout]. wi [sum(segs), Cout]."""
+    segs = tuple(segs)
+    cout = wi.shape[1]
+    eye = jnp.eye(8, dtype=wi.dtype)
+    blocks = []
+    off = 0
+    for c in segs:
+        blocks.append(jnp.kron(eye, wi[off:off + c]))  # [8c, 8cout]
+        off += c
+    w1 = jnp.concatenate(blocks, axis=0)
+    return jax.lax.dot_general(
+        folded, w1.astype(folded.dtype), (((folded.ndim - 1,), (0,)), ((), ())),
+    ).astype(folded.dtype)
+
+
 class BrickDownLink(NamedTuple):
     """Brick-level connectivity between level l and level l+1.
 

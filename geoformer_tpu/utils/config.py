@@ -109,6 +109,12 @@ _DEFAULTS = dict(
     # --- TPU static-shape capacities (ours; no reference equivalent) ---
     tpu_bf16=False,
     tpu_remat=False,
+    # x-folded brick levels with c0 <= this channel width (0 = off):
+    # XLA tiles buffer lanes to 128, so C=16 level tensors pad 8x; folding
+    # the brick x axis into lanes ([B,NB,8,8,8C]) tiles exactly and runs
+    # the conv banded over (z,y) (ops/brick.py). Flip with the on-chip
+    # measurement in BASELINE.md
+    tpu_brick_fold_max_c=0,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
     tpu_voxel_decay=0.5,        # V_{l+1} = ceil(V_l * decay) (clamped to >= 64)

@@ -39,6 +39,8 @@ def main():
                     help="override tpu_knn_window (0 = full width)")
     ap.add_argument("--radius_cell_cap", type=int, default=None,
                     help="override tpu_radius_cell_cap")
+    ap.add_argument("--brick_fold", type=int, default=None,
+                    help="override tpu_brick_fold_max_c (0 = off)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -65,6 +67,7 @@ def main():
         **({} if args.ball_cell_cap is None else {"tpu_ball_cell_cap": args.ball_cell_cap}),
         **({} if args.knn_window is None else {"tpu_knn_window": args.knn_window}),
         **({} if args.radius_cell_cap is None else {"tpu_radius_cell_cap": args.radius_cell_cap}),
+        **({} if args.brick_fold is None else {"tpu_brick_fold_max_c": args.brick_fold}),
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
