@@ -21,8 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_level(nb, cin, cout, occupancy, reps, compute_dtype):
-    from geoformer_tpu.ops.brick import BS, build_brick_plan, dense_subm_conv
+def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, fold=False):
+    from geoformer_tpu.ops.brick import (BS, build_brick_plan, dense_subm_conv,
+                                         dense_subm_conv_folded, fold_x)
     from geoformer_tpu.ops.voxelize import voxelize
 
     rng = np.random.default_rng(0)
@@ -46,10 +47,20 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype):
     # plan passed as a TRACED argument: closure-captured plan arrays embed
     # as program constants, which the r4d run showed distorting the XLA
     # baseline ~300x vs the same conv inside compile_bisect's unet stage
+    if fold:
+        assert cin == cout, "fold bench rows keep the carry segs uniform"
+        x = fold_x(x)
+
+    def conv(c, w, plan):
+        if fold:
+            return dense_subm_conv_folded(c, plan, w, (cin,),
+                                          compute_dtype=compute_dtype)
+        return dense_subm_conv(c, plan, w, compute_dtype=compute_dtype)
+
     @jax.jit
     def run(x, w, plan):
         def body(c, _):
-            y = dense_subm_conv(c, plan, w, compute_dtype=compute_dtype)
+            y = conv(c, plan=plan, w=w)
             if cout != cin:  # keep the scan carry shape (tile channels back)
                 y = jnp.concatenate([y] * (cin // cout), axis=-1)
             return y.astype(c.dtype), ()
@@ -61,7 +72,7 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype):
 
     @jax.jit
     def run_one(x, w, plan):
-        y = dense_subm_conv(x, plan, w, compute_dtype=compute_dtype)
+        y = conv(x, plan=plan, w=w)
         return jnp.sum(y.astype(jnp.float32))
 
     t0 = time.perf_counter()
@@ -91,6 +102,8 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--occupancy", type=int, default=64)
+    ap.add_argument("--fold", action="store_true",
+                    help="x-folded layout + banded 2D conv (skips C-change rows)")
     args = ap.parse_args()
     cd = jnp.bfloat16 if args.bf16 else None
     print(f"device={jax.devices()[0]} reps={args.reps} "
@@ -98,10 +111,13 @@ def main():
     # prod backbone levels: (NB, C) — level tails run 2C -> C
     for nb, cin, cout in [(4096, 16, 16), (4096, 32, 16), (2048, 32, 32),
                           (1024, 48, 48), (512, 64, 64)]:
+        if args.fold and cin != cout:
+            continue
         per_conv, one_ms, compile_s = bench_level(
-            nb, cin, cout, args.occupancy, args.reps, cd
+            nb, cin, cout, args.occupancy, args.reps, cd, fold=args.fold
         )
-        print(f"NB={nb:5d} C={cin:3d}->{cout:3d} xla: "
+        tag = "fold" if args.fold else "xla "
+        print(f"NB={nb:5d} C={cin:3d}->{cout:3d} {tag}: "
               f"{per_conv:7.2f} ms/conv (1-shot {one_ms:.1f} ms, "
               f"compile {compile_s:.1f}s)", flush=True)
 
