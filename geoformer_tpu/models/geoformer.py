@@ -87,7 +87,6 @@ class ModelConfig:
     geodesic_k_sub: int = 16
     geodesic_cell_factor: float = 2.0
     geodesic_coarse_eps: float = 0.0  # coarse fixpoint exit slack (meters)
-    geodesic_fine_block: int = 0      # fine-sweep block size (0 = 512)
     ball_radius: float = 0.2
     # >0: voxel-hash ball query bounded to the 3^3 cell window (exact up to
     # this many points per radius-cell) instead of brute-force [K,P] tiles.
@@ -180,7 +179,6 @@ class ModelConfig:
             geodesic_k_sub=cfg.tpu_geodesic_k_sub,
             geodesic_cell_factor=cfg.tpu_geodesic_cell_factor,
             geodesic_coarse_eps=cfg.tpu_geodesic_coarse_eps,
-            geodesic_fine_block=cfg.tpu_geodesic_fine_block,
             ball_radius=cfg.tpu_ball_radius,
             ball_nsample=cfg.tpu_ball_nsample,
             ball_cell_cap=cfg.tpu_ball_cell_cap,
@@ -474,7 +472,6 @@ class GeoFormerBase(nn.Module):
                     k_sub=mc.geodesic_k_sub,
                     fine_k=mc.geodesic_fine_k or None,
                     coarse_eps=mc.geodesic_coarse_eps,
-                    fine_block=mc.geodesic_fine_block or None,
                 ), graph_ovf, graph_wovf  # [B, F, Q], [B], [B]
             # symmetrize=False: the radius-kNN graph is symmetric up to the
             # K cap, so the reverse-edge table would double relaxation

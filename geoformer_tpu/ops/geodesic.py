@@ -529,11 +529,11 @@ def _hier_scene(nbr_idx, nbr_dist, seeds, seed_mask, point_mask, radius,
     inv_pad = jnp.concatenate([inv, jnp.full((1,), p, jnp.int32)])
     nb_s = inv_pad[nb[perm]]
     w_s = w[perm]
-    # fine_block > block_size trades in-sweep Gauss-Seidel propagation for
-    # fewer sequential block steps (the fine stage is latency-bound: 256
-    # blocks x fwd+bwd x sweeps dependent dispatches at 512). The sweeps
-    # only smooth the coarse prolongation locally, so block-internal Jacobi
-    # at a bigger block suffices — AP-gated in tests/test_geodesic_ap_delta
+    # fine_block: solver-level override for measurement (tools/geo_bisect).
+    # Measured a TIE on-chip at 512/2048/4096 (159.4/159.3/156.8 ms,
+    # ONCHIP_SUITE_r4.log suite r4f): the fine stage is bound by its
+    # [P,K,Q] edge-distance gathers (~2 GB/sweep at prod), not by the
+    # sequential block dispatches, so no product knob ships for it.
     fb = fine_block or block_size
     nb2, w2, pp = _pad_edges(nb_s, w_s, p, fb)
 

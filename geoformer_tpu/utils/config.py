@@ -166,12 +166,6 @@ _DEFAULTS = dict(
     # keeps 2x margin from the (8,2) collapse cliff
     tpu_geodesic_fine_sweeps=4,
     tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
-    # fine-sweep block size (0 = the solver's 512 default). The fine stage
-    # is latency-bound (fg/block fwd+bwd sequential block steps per sweep);
-    # a bigger block trades in-sweep Gauss-Seidel propagation (not needed —
-    # the sweeps only smooth the coarse prolongation locally) for ~8x fewer
-    # dependent dispatches. Measured on-chip before a nonzero default ships
-    tpu_geodesic_fine_block=0,
     tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
     # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)
     tpu_geodesic_cell_factor=2.0,
