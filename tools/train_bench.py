@@ -46,6 +46,8 @@ def main():
                     help="jax.checkpoint residual blocks (shipped prod "
                          "default; 0 = keep all activations, OOMs one v5e "
                          "chip at prod capacities — ONCHIP_SUITE_r4)")
+    ap.add_argument("--brick_fold", type=int, default=None,
+                    help="override tpu_brick_fold_max_c (x-folded levels)")
     ap.add_argument("--f32", action="store_true",
                     help="f32 level residency (shipped prod default is "
                          "bf16; no-remat f32 measured 21.2 GB HBM)")
@@ -75,6 +77,7 @@ def main():
         tpu_unet_depth=args.depth,
         tpu_ball_nsample=64,
         tpu_brick_occupancy=args.brick_occupancy,
+        **({} if args.brick_fold is None else {"tpu_brick_fold_max_c": args.brick_fold}),
         tpu_remat=bool(args.remat),
         tpu_compute_dtype="float32" if args.f32 else "bfloat16",
         prepare_epochs=120 if args.prepare else 0,
