@@ -24,6 +24,8 @@ import numpy as np
 
 
 def _timed(fn, *args, reps=5):
+    """Median wall ms of one jitted call (includes the ~30-50 ms tunnel
+    dispatch floor — see the amortized column for the real op cost)."""
     t0 = time.perf_counter()
     out = float(fn(*args))
     compile_s = time.perf_counter() - t0
@@ -62,17 +64,39 @@ def main():
                 sk.astype(jnp.int64) % 1013
             )
 
-        for name, fn, a in (
-            ("sort", sort_keys, (keys,)),
-            ("argsort", argsort_keys, (keys,)),
-            ("sort_kv", sort_kv, (keys, vals)),
+        # scan-amortized: R dependent sorts inside ONE jit (the r4g run
+        # measured ~28-32 ms at EVERY size 131k-2M — pure dispatch floor).
+        # The reversal keeps each iteration a full sort without letting
+        # XLA fold the chain (bitonic is data-independent anyway).
+        R = 16
+
+        @jax.jit
+        def sort_amortized(k):
+            def body(c, _):
+                return jnp.sort(c)[::-1], ()
+            c, _ = jax.lax.scan(body, k, None, length=R)
+            return jnp.sum(c.astype(jnp.int64) % 1013)
+
+        @jax.jit
+        def argsort_amortized(k):
+            def body(c, _):
+                p = jnp.argsort(c)
+                return c[p][::-1] ^ p, ()
+            c, _ = jax.lax.scan(body, k, None, length=R)
+            return jnp.sum(c.astype(jnp.int64) % 1013)
+
+        for name, fn, a, amort in (
+            ("sort", sort_keys, (keys,), 1),
+            ("argsort", argsort_keys, (keys,), 1),
+            ("sort_kv", sort_kv, (keys, vals), 1),
+            ("sortx16", sort_amortized, (keys,), R),
+            ("argsortx16", argsort_amortized, (keys,), R),
         ):
             ms, cs = _timed(fn, *a, reps=args.reps)
-            # roofline: bitonic reads+writes the array log2(n)^2/2 times;
-            # a radix sort ~4 passes of read+write at 8 bits/pass
             mb = n * 4 / 1e6
+            per = ms / amort
             print(
-                f"n={n:8d} {name:8s}: {ms:8.2f} ms "
+                f"n={n:8d} {name:10s}: {per:8.2f} ms/op "
                 f"(data {mb:.1f} MB, radix-4-pass roofline ~"
                 f"{8 * mb / 800:.3f} ms, compile {cs:.1f}s)",
                 flush=True,
