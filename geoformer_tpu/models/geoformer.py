@@ -122,7 +122,7 @@ class ModelConfig:
     # levels pad 16-lane buffers 8x under XLA (8,128) tiling; folding the
     # brick x axis into lanes tiles exactly (ops/brick.py fold_x).
     # keep in sync with utils/config.py tpu_brick_fold_max_c
-    brick_fold_max_c: int = 0
+    brick_fold_max_c: int = 32
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
     # off, and outputs are stop_gradient'ed (matches requires_grad=False +
     # .eval() + no_grad contexts, geoformer.py:167-184,531,552)

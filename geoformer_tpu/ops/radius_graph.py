@@ -100,9 +100,11 @@ def ranked_lookup(table, queries, seg: int = 128):
     return rank.reshape(qshape)
 
 
-def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024):
-    """3^3 cell-window lookup: query_cells [N,3] (x,y,z int) ->
-    [N,27] cell slots into the sorted cell table (cc = not-found pad)."""
+def _window_lookup_per_slot(cell_keys, n_cells, cc, query_cells, query_valid,
+                            spatial=1024):
+    """3^3 cell-window lookup, one ranked_lookup per window slot: [N,3]
+    (x,y,z int) -> [N,27] cell slots into the sorted table (cc = pad).
+    The exactness oracle for `window_lookup` (tests/test_radius_graph.py)."""
     offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)  # (x,y,z)
     nc = query_cells[:, None, :] + offs[None, :, :]  # [N,27,3]
     in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & query_valid[:, None]
@@ -111,6 +113,51 @@ def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024
     cwin = jnp.minimum(cwin, cc - 1)
     found = in_range & (cell_keys[cwin] == nkey) & (cwin < n_cells)
     return jnp.where(found, cwin, cc)  # pad cell
+
+
+def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024):
+    """3^3 cell-window lookup: query_cells [N,3] (x,y,z int) ->
+    [N,27] cell slots into the sorted cell table (cc = not-found pad).
+
+    Run-compressed: pack_key is x-least-significant, so each of the 9
+    (dz,dy) window rows wants THREE CONSECUTIVE integer keys {k-1, k, k+1}.
+    Keys are unique and the table sorted, so those can only sit at ranks
+    r, r+1, r+2 where r = rank(k-1) — ONE ranked_lookup per row (9 instead
+    of 27: the lookup's [N, T/seg] compare-count is its bandwidth cost)
+    plus a 3-slot gather + 3x3 equality match. x-edge cells (x±1 outside
+    the grid) produce keys that alias the neighboring row; the x_ok mask
+    rejects them exactly as the per-slot form's in_range did."""
+    t = cell_keys.shape[0]
+    x, y, z = query_cells[:, 0], query_cells[:, 1], query_cells[:, 2]
+    # 9 (dz,dy) rows in _WINDOW's outer order (dz outer, dy inner)
+    dyz = jnp.asarray(
+        [(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
+    )  # [9,2]
+    ny = y[:, None] + dyz[None, :, 0]  # [N,9]
+    nz = z[:, None] + dyz[None, :, 1]
+    row_ok = (
+        (ny >= 0) & (ny < spatial) & (nz >= 0) & (nz < spatial)
+        & query_valid[:, None]
+    )
+    kc = (
+        jnp.clip(nz, 0, spatial - 1) * spatial + jnp.clip(ny, 0, spatial - 1)
+    ) * spatial + x[:, None]  # [N,9] row-center key (dx=0)
+    r = ranked_lookup(cell_keys, kc - 1).astype(jnp.int32)  # [N,9]
+    dx3 = jnp.arange(-1, 2, dtype=jnp.int32)  # [-1, 0, 1]
+    slots = jnp.minimum(r[..., None] + (dx3 + 1), t - 1)  # [N,9,3] candidate ranks
+    g = cell_keys[slots]  # [N,9,3] gathered keys
+    wanted = kc[..., None] + dx3  # [N,9,3] in _WINDOW dx order
+    x_ok = ((x[:, None] + dx3[None, :]) >= 0) & (
+        (x[:, None] + dx3[None, :]) < spatial
+    )  # [N,3]
+    ok = row_ok[..., None] & x_ok[:, None, :]
+    eq = g[:, :, None, :] == wanted[..., None]  # [N,9,3 wanted,3 slots]
+    found = ok & jnp.any(eq, axis=-1)
+    slot_of = jnp.take_along_axis(
+        slots, jnp.argmax(eq, axis=-1), axis=-1
+    )  # [N,9,3]
+    cwin = jnp.where(found & (slot_of < n_cells), jnp.minimum(slot_of, cc - 1), cc)
+    return cwin.reshape(query_cells.shape[0], 27)  # rows x dx = _WINDOW order
 
 
 # 27 window slots ordered center-first (by squared cell-offset norm): the

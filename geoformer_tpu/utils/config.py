@@ -112,9 +112,11 @@ _DEFAULTS = dict(
     # x-folded brick levels with c0 <= this channel width (0 = off):
     # XLA tiles buffer lanes to 128, so C=16 level tensors pad 8x; folding
     # the brick x axis into lanes ([B,NB,8,8,8C]) tiles exactly and runs
-    # the conv banded over (z,y) (ops/brick.py). Flip with the on-chip
-    # measurement in BASELINE.md
-    tpu_brick_fold_max_c=0,
+    # the conv banded over (z,y) (ops/brick.py). Measured at prod
+    # (ONCHIP_SUITE_r4 R4K): full unet f32 304.9 -> fold64 287.6 ->
+    # fold32 279.7 ms (bf16 273.7 -> fold64 247.6); per-level fold WINS at
+    # C16/C32 (8x/4x lane-pad removed) and ~ties at C48, so 32 ships
+    tpu_brick_fold_max_c=32,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
     tpu_voxel_decay=0.5,        # V_{l+1} = ceil(V_l * decay) (clamped to >= 64)

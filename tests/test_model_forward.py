@@ -42,6 +42,25 @@ def rngs():
     return {"params": k1, "sample": k2, "dropout": k3}
 
 
+def test_modelconfig_defaults_match_config_defaults():
+    """ModelConfig() dataclass defaults must equal ModelConfig.from_cfg of
+    the default flat config — the two default surfaces drifted once
+    (geodesic_fine_sweeps, ADVICE r3) and the 'keep in sync' comments are
+    not a gate. Any intentional divergence must be listed here."""
+    import dataclasses
+
+    from geoformer_tpu.utils.config import load_config
+
+    got = ModelConfig.from_cfg(load_config())
+    dflt = ModelConfig()
+    diff = {
+        f.name: (getattr(got, f.name), getattr(dflt, f.name))
+        for f in dataclasses.fields(ModelConfig)
+        if getattr(got, f.name) != getattr(dflt, f.name)
+    }
+    assert diff == {}, f"config-default vs dataclass-default drift: {diff}"
+
+
 def test_geoformer_forward_shapes(tiny_cfg, rngs):
     rng = np.random.default_rng(0)
     mc = tiny_mc(tiny_cfg)

@@ -180,6 +180,35 @@ def test_radius_knn_cellwin_exact():
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2_), rtol=1e-6)
 
 
+def test_window_lookup_run_compressed_matches_per_slot():
+    """The run-compressed window lookup (one ranked_lookup per (dz,dy) row
+    + 3-consecutive-slot match) must equal the per-slot oracle exactly —
+    including grid-edge cells where x±1 keys alias the neighboring row,
+    empty neighbor cells, and pad query slots."""
+    from geoformer_tpu.ops.radius_graph import (
+        _window_lookup_per_slot, build_cell_table, window_lookup)
+
+    rng = np.random.default_rng(5)
+    spatial = 16  # small grid => many edge cells exercise the alias masks
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        p = 512
+        pts = rng.uniform(0, spatial * 0.05, (p, 3)).astype(np.float32)
+        mask = np.ones(p, bool)
+        mask[-37:] = False
+        cc = p // 2
+        grid, origin, cell_pts, cell_xyz, nd = build_cell_table(
+            jnp.asarray(pts), jnp.asarray(mask), 0.05, cc, 8, spatial)
+        keys = grid.voxel_keys[0]
+        ncells = grid.n_voxels[0]
+        qcells = grid.voxel_coords[0]
+        qvalid = grid.voxel_mask[0]
+        want = np.asarray(_window_lookup_per_slot(
+            keys, ncells, cc, qcells, qvalid, spatial))
+        got = np.asarray(window_lookup(keys, ncells, cc, qcells, qvalid, spatial))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_ranked_lookup_matches_searchsorted():
     """ranked_lookup (two-level compare-count) == searchsorted side='left'
     on sorted int32 tables, incl. exact hits, duplicates, below-min /

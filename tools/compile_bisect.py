@@ -180,13 +180,34 @@ def main():
             return mdl.forward_geodesic(fg_locs, fg_valid, ci, cv, train=False)
         return model.apply(variables, rngs={"sample": rng}, method=run)
 
+    def dec(variables, batch, rng):
+        # prefix through run_decoder (mask tower included — it feeds the
+        # mask head, not the decoder, but the full forward computes it
+        # before the decoder): full - decoder = dynamic-conv mask head +
+        # proposals; decoder - geodesic = rel-pos build + DETR layers +
+        # mask tower
+        def run(mdl):
+            pf, ss, sp, _ = mdl.forward_backbone(batch, train=False)
+            fg_idx, fg_valid = mdl.foreground_pack(sp, batch["point_mask"])
+            fg_locs = jax.vmap(lambda a, i: a[i])(batch["points"], fg_idx)
+            fg_feats = jax.vmap(lambda a, i: a[i])(pf, fg_idx)
+            mask_feats = mdl.run_mask_tower(fg_feats, fg_valid, False)
+            cl, cf, ci, cv = mdl.forward_aggregator(fg_locs, fg_feats, fg_valid, train=False)
+            geo_dist, _, _ = mdl.forward_geodesic(fg_locs, fg_valid, ci, cv, train=False)
+            dec_outputs, ql, qv = mdl.run_decoder(
+                mdl.encoder_to_decoder_projection, cl, cf, cv, geo_dist, ci,
+                batch["pc_mins"], batch["pc_maxs"], False,
+            )
+            return dec_outputs, mask_feats
+        return model.apply(variables, rngs={"sample": rng}, method=run)
+
     def full(variables, batch, rng):
         out = model.apply(variables, batch, train=False, rngs={"sample": rng})
         return out["mask_logits"]
 
     stages = {"vox0": vox0, "voxchain": voxchain, "brickplans": brickplans,
               "gridplan": gridplan, "unet": unet, "backbone": bb,
-              "aggregator": agg, "geodesic": geo, "full": full}
+              "aggregator": agg, "geodesic": geo, "decoder": dec, "full": full}
     # "all" keeps the historical stage chain (sub-stages are opt-in)
     want = args.stages.split(",") if args.stages != "all" else [
         "gridplan", "unet", "backbone", "aggregator", "geodesic", "full"]

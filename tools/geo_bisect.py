@@ -178,26 +178,25 @@ def main():
 
         cell_pts = timed(s_cellpts, grid, label="knn: cell->points table")
 
-        offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)
-
-        @jax.jit
-        def s_lookup(grid, mask):
-            ccoords = grid.voxel_coords[0]
-            cmask = grid.voxel_mask[0]
-            nc = ccoords[:, None, :] + offs[None, :, :]
-            in_range = jnp.all((nc >= 0) & (nc < spatial), axis=-1) & cmask[:, None]
-            nkey = pack_key(jnp.clip(nc, 0, spatial - 1), spatial)
-            cell_keys = grid.voxel_keys[0]
-            cwin = jnp.searchsorted(cell_keys, nkey, method="sort").astype(jnp.int32)
-            cwin = jnp.minimum(cwin, cc - 1)
-            found = in_range & (cell_keys[cwin] == nkey) & (cwin < grid.n_voxels[0])
-            cwin = jnp.where(found, cwin, cc)
+        def _lookup_with(window_fn, grid, mask):
+            cwin = window_fn(
+                grid.voxel_keys[0], grid.n_voxels[0], cc, grid.voxel_coords[0],
+                grid.voxel_mask[0], spatial)
             p2c = grid.p2v[0]
             cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
             cidx = cwin_pad[jnp.minimum(p2c, cc)]
             return jnp.where((p2c < cc)[:, None] & mask[0][:, None], cidx, cc)
 
-        cidx = timed(s_lookup, grid, mask, label="knn: 27-window lookup")
+        from geoformer_tpu.ops.radius_graph import (_window_lookup_per_slot,
+                                                    window_lookup)
+
+        s_lookup = jax.jit(functools.partial(_lookup_with, window_lookup))
+        s_lookup_slot = jax.jit(functools.partial(_lookup_with, _window_lookup_per_slot))
+        cidx = timed(s_lookup, grid, mask, label="knn: 27-window lookup (runs)")
+        cidx_slot = timed(s_lookup_slot, grid, mask,
+                          label="knn: 27-window lookup (per-slot)")
+        n_mism = int(jnp.sum(cidx != cidx_slot))
+        print(f"  run-vs-slot lookup mismatches: {n_mism}", flush=True)
 
         @jax.jit
         def s_cand(cidx, cell_pts):
