@@ -10,24 +10,29 @@
 #        tail was never split)
 #   6.   run-compressed window_lookup on-chip confirm (CPU 12.0 vs 46.7 ms)
 #   7.   scan-amortized sort bench (r4g measured only the dispatch floor)
+# The tunnel drops for hours at a time, so EVERY run waits for it first
+# (the r4k/r4l/r4m queues only waited at suite start and burned their
+# timeouts when the tunnel died mid-suite).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=${ONCHIP_SUITE_LOG:-/root/repo/ONCHIP_SUITE_r4.log}
+wait_tunnel() {
+  while true; do
+    if timeout 150 python -c "import jax; d = jax.devices(); assert 'TPU' in str(d[0]); import jax.numpy as jnp; print(float(jnp.ones(4).sum()))" >/dev/null 2>&1; then
+      return
+    fi
+    sleep 120
+  done
+}
 run() {
+  wait_tunnel
   echo "=== [$(date +%H:%M:%S)] $*" >> "$LOG"
   timeout "$1" "${@:2}" >> "$LOG" 2>&1
   echo "--- rc=$? [$(date +%H:%M:%S)]" >> "$LOG"
 }
 
 echo "=== R4N start [$(date +%H:%M:%S)]" >> "$LOG"
-while true; do
-  if timeout 150 python -c "import jax; d = jax.devices(); assert 'TPU' in str(d[0]); import jax.numpy as jnp; print(float(jnp.ones(4).sum()))" >/dev/null 2>&1; then
-    break
-  fi
-  sleep 120
-done
-echo "=== R4N tunnel up [$(date +%H:%M:%S)]" >> "$LOG"
 
 run 2400 python bench.py
 run 2400 python bench.py --scale prod
