@@ -160,6 +160,54 @@ def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024
     return cwin.reshape(query_cells.shape[0], 27)  # rows x dx = _WINDOW order
 
 
+def window_lookup_dense(table_coords, table_mask, n_cells, cc,
+                        query_cells, query_valid, grid_cap=256):
+    """3^3 cell-window lookup via a dense scatter grid — experimental A/B
+    arm vs `window_lookup` (NOT wired into the model; no product knob
+    until it wins on-chip — tools/geo_bisect.py --stages knn_parts times
+    both; tests/test_radius_graph.py pins exactness).
+
+    The shipped run-compressed lookup pays an O(T/seg) compare-count scan
+    per query row (`ranked_lookup`: its [N, T/seg] bandwidth is the 65.6 ms
+    in the r4 knn attribution). This form scatters each occupied cell's
+    slot id into a dense [grid_cap^3] int32 grid (64 MB at 256 — the fill
+    and the ~65k scatters are HBM-trivial) and turns the whole 27-window
+    into O(1) random gathers, with no key table at all. Exact while every
+    occupied cell coord is < grid_cap (12.8 m scene extent at the 5 cm
+    graph cells); occupied cells at coords >= grid_cap lose their window
+    edges — counted in the returned n_oob so a caller can surface it as a
+    degradation counter like every other capacity. Risk (why this must be
+    measured, not assumed): 4-byte random gathers from a 64 MB table may
+    be latency-bound the same way the r4d cellwin arm tied (BASELINE.md).
+
+    Returns ([N, 27] cell slots in _WINDOW order, pad = cc; n_oob int32).
+    """
+    t = table_coords.shape[0]
+    g3 = grid_cap * grid_cap * grid_cap
+    slots = jnp.arange(t, dtype=jnp.int32)
+    ok_w = (
+        table_mask
+        & jnp.all((table_coords >= 0) & (table_coords < grid_cap), axis=-1)
+        & (slots < n_cells)
+    )
+    n_oob = jnp.sum(table_mask & (slots < n_cells) & ~ok_w).astype(jnp.int32)
+    wflat = (
+        table_coords[:, 2] * grid_cap + table_coords[:, 1]
+    ) * grid_cap + table_coords[:, 0]
+    wflat = jnp.where(ok_w, wflat, g3)  # pad/oob cells write the scratch slot
+    dense = jnp.full((g3 + 1,), cc, jnp.int32)
+    dense = dense.at[wflat].set(
+        jnp.where(ok_w, slots, cc), mode="promise_in_bounds"
+    )
+    offs = jnp.asarray([(dx, dy, dz) for (dz, dy, dx) in _WINDOW], jnp.int32)
+    nc = query_cells[:, None, :] + offs[None, :, :]  # [N,27,3] (x,y,z)
+    inr = jnp.all((nc >= 0) & (nc < grid_cap), axis=-1) & query_valid[:, None]
+    nflat = (nc[..., 2] * grid_cap + nc[..., 1]) * grid_cap + nc[..., 0]
+    nflat = jnp.where(inr, nflat, g3)
+    got = dense[nflat]  # [N,27]; empty cells already read cc
+    return jnp.where(inr, got, cc), n_oob
+
+
 # 27 window slots ordered center-first (by squared cell-offset norm): the
 # per-cell compaction keeps the first `window` candidates in this order, so
 # an overflowing window drops the farthest cells' members first

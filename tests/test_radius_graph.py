@@ -209,6 +209,63 @@ def test_window_lookup_run_compressed_matches_per_slot():
         np.testing.assert_array_equal(got, want)
 
 
+def test_window_lookup_dense_matches_run_compressed():
+    """The dense scatter-grid lookup (experimental A/B arm) must equal the
+    shipped run-compressed lookup exactly while the scene fits grid_cap,
+    and must count (not silently drop) occupied cells beyond grid_cap."""
+    from geoformer_tpu.ops.radius_graph import (
+        build_cell_table, window_lookup, window_lookup_dense)
+
+    spatial = 16
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        p = 512
+        pts = rng.uniform(0, spatial * 0.05, (p, 3)).astype(np.float32)
+        mask = np.ones(p, bool)
+        mask[-37:] = False
+        cc = p // 2
+        grid, origin, cell_pts, cell_xyz, nd = build_cell_table(
+            jnp.asarray(pts), jnp.asarray(mask), 0.05, cc, 8, spatial)
+        keys = grid.voxel_keys[0]
+        ncells = grid.n_voxels[0]
+        qcells = grid.voxel_coords[0]
+        qvalid = grid.voxel_mask[0]
+        want = np.asarray(window_lookup(keys, ncells, cc, qcells, qvalid, spatial))
+        got, n_oob = window_lookup_dense(
+            qcells, qvalid, ncells, cc, qcells, qvalid, grid_cap=spatial)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        assert int(n_oob) == 0
+
+    # grid_cap smaller than the occupied extent: the out-of-cap cells are
+    # counted, and in-cap windows that reach past the cap miss only those
+    # neighbors (pad = cc) — never a wrong slot
+    grid, origin, cell_pts, cell_xyz, nd = build_cell_table(
+        jnp.asarray(pts), jnp.asarray(mask), 0.05, cc, 8, spatial)
+    qcells = grid.voxel_coords[0]
+    qvalid = grid.voxel_mask[0]
+    ncells = grid.n_voxels[0]
+    cap = 8  # occupied coords run 0..15
+    got, n_oob = window_lookup_dense(
+        qcells, qvalid, ncells, cc, qcells, qvalid, grid_cap=cap)
+    oob = np.asarray(qvalid) & ~np.all(
+        (np.asarray(qcells) >= 0) & (np.asarray(qcells) < cap), axis=-1)
+    assert int(n_oob) == int(oob.sum()) > 0
+    want = np.asarray(window_lookup(
+        grid.voxel_keys[0], ncells, cc, qcells, qvalid, spatial))
+    got = np.asarray(got)
+    in_cap_q = ~oob & np.asarray(qvalid)
+    # wherever the dense form found a slot, it must be the exact slot
+    found = got[in_cap_q] < cc
+    np.testing.assert_array_equal(got[in_cap_q][found], want[in_cap_q][found])
+    # and the only misses are windows reaching past the cap
+    missed_wrong = (got[in_cap_q] == cc) & (want[in_cap_q] < cc)
+    if missed_wrong.any():
+        # every such miss must point at an out-of-cap neighbor slot
+        slots = want[in_cap_q][missed_wrong]
+        coords = np.asarray(qcells)[slots]
+        assert (coords >= cap).any(axis=-1).all()
+
+
 def test_ranked_lookup_matches_searchsorted():
     """ranked_lookup (two-level compare-count) == searchsorted side='left'
     on sorted int32 tables, incl. exact hits, duplicates, below-min /

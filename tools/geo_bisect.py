@@ -198,6 +198,31 @@ def main():
         n_mism = int(jnp.sum(cidx != cidx_slot))
         print(f"  run-vs-slot lookup mismatches: {n_mism}", flush=True)
 
+        # dense scatter-grid arm (experimental, ops/radius_graph.py): the
+        # compare-count lookup's [CC, T/seg] bandwidth -> O(1) gathers from
+        # a [grid_cap^3] table. grid_cap 256 covers 12.8 m at 5 cm cells.
+        from geoformer_tpu.ops.radius_graph import window_lookup_dense
+
+        def _lookup_dense(grid, mask):
+            qcells = grid.voxel_coords[0]
+            qvalid = grid.voxel_mask[0]
+            cwin, n_oob = window_lookup_dense(
+                qcells, qvalid, grid.n_voxels[0], cc, qcells, qvalid,
+                grid_cap=256)
+            p2c = grid.p2v[0]
+            cwin_pad = jnp.concatenate(
+                [cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
+            cidx = cwin_pad[jnp.minimum(p2c, cc)]
+            return jnp.where(
+                (p2c < cc)[:, None] & mask[0][:, None], cidx, cc), n_oob
+
+        s_lookup_dense = jax.jit(_lookup_dense)
+        cidx_dense, n_oob = timed(
+            s_lookup_dense, grid, mask, label="knn: 27-window lookup (dense)")
+        n_mism_d = int(jnp.sum(cidx_dense != cidx))
+        print(f"  dense-vs-run lookup mismatches: {n_mism_d} "
+              f"(oob cells: {int(n_oob)})", flush=True)
+
         @jax.jit
         def s_cand(cidx, cell_pts):
             cell_pts_pad = jnp.concatenate(
