@@ -86,7 +86,7 @@ def _cache_entries() -> int:
         return 0
 
 
-def measure(scale: str, batch_size: int = 1):
+def measure(scale: str, batch_size: int = 1, select: str | None = None):
     import jax
 
     from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
@@ -98,6 +98,7 @@ def measure(scale: str, batch_size: int = 1):
     from __graft_entry__ import _synthetic_batch
 
     cfg = load_config(None, batch_size=batch_size, tpu_max_instances=64,
+                      **({"tpu_knn_select": select} if select else {}),
                       **SCALES[scale])
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
@@ -183,6 +184,7 @@ def measure(scale: str, batch_size: int = 1):
                 "batch_size": batch_size,
                 "compile_s": round(compile_s, 1),
                 "scale": scale,
+                **({"knn_select": select} if select else {}),
                 "points": int(cfg.tpu_max_points),
                 "dropped_points": dropped_points,
                 "degradation_counters": counters,
@@ -202,7 +204,7 @@ def measure(scale: str, batch_size: int = 1):
     )
 
 
-def _tunnel_up(env, here) -> bool:
+def _tunnel_up(env, here, probe_timeout=150) -> bool:
     """Quick healthcheck: can a fresh process see the TPU? The axon tunnel
     in this environment goes down for hours at a time, and a dead tunnel
     makes `jax.devices()` hang — without this check the fallback chain
@@ -213,20 +215,42 @@ def _tunnel_up(env, here) -> bool:
     )
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", probe], timeout=150, capture_output=True,
-            env=env, cwd=here,
+            [sys.executable, "-c", probe], timeout=probe_timeout,
+            capture_output=True, env=env, cwd=here,
         )
         return proc.returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
+def _wait_tunnel(env, here, budget_s=900) -> bool:
+    """Bounded wait-retry for the tunnel (VERDICT r4: a ONE-shot probe
+    surrendered to CPU permanently while the chip measured 4.37 scenes/s
+    the same morning — transient contention, e.g. another process holding
+    the single chip, looks identical to an outage for one probe). Probe
+    until one succeeds or ~`budget_s` elapses; only then fall back."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        if _tunnel_up(env, here):
+            return True
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"# tunnel probe {attempt} failed; retrying "
+              f"({remaining:.0f}s of wait budget left)", file=sys.stderr)
+        time.sleep(min(30, max(remaining, 1)))
+
+
 def main():
     if len(sys.argv) > 3 and sys.argv[1] == "--_worker":
-        measure(sys.argv[2], int(sys.argv[3]))
+        measure(sys.argv[2], int(sys.argv[3]),
+                select=(sys.argv[4] if len(sys.argv) > 4 else None) or None)
         return
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))  # --scale X --batch N
     batch_size = int(args.get("--batch", 1))
+    select = args.get("--select", "")  # tpu_knn_select override (A/B runs)
     here = os.path.dirname(os.path.abspath(__file__))
     # APPEND to PYTHONPATH: the axon TPU plugin is found via PYTHONPATH and
     # overwriting it silently falls back to CPU
@@ -236,7 +260,8 @@ def main():
     if "--scale" in args:
         chain = (args["--scale"],)
     timeouts = dict(TIMEOUTS)
-    if not _tunnel_up(env, here):
+    wait_budget = int(os.environ.get("GEOFORMER_BENCH_TUNNEL_WAIT_S", "900"))
+    if not _wait_tunnel(env, here, budget_s=wait_budget):
         # Honest degraded mode: measure on the host CPU at small scale and
         # label the device in the JSON rather than emitting value 0.0 after
         # 80 minutes of per-scale timeouts. CPU needs the axon plugin
@@ -256,7 +281,7 @@ def main():
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker", scale,
-                 str(batch_size)],
+                 str(batch_size), select],
                 timeout=timeouts[scale] * (1 + (batch_size > 1)),
                 capture_output=True, text=True, env=env,
                 cwd=here,

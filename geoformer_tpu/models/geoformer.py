@@ -99,6 +99,12 @@ class ModelConfig:
     # once per cell, points pick their window up with one wide row-gather.
     # Exact (identical candidate set). keep in sync with utils/config.py
     knn_cellwin: bool = False
+    # dense scatter-grid window lookup (0 = compare-count lookup); keep in
+    # sync with utils/config.py tpu_knn_dense_grid
+    knn_dense_grid: int = 256
+    # candidate k-selection: "topk" | "passes" | "approx"; keep in sync
+    # with utils/config.py tpu_knn_select
+    knn_select: str = "topk"
     ball_nsample: int = 64
     test_score_thresh: float = 0.1  # keep in sync with config TEST_SCORE_THRESH
     test_npoint_thresh: int = 50    # keep in sync with config TEST_NPOINT_THRESH
@@ -184,6 +190,8 @@ class ModelConfig:
             ball_cell_cap=cfg.tpu_ball_cell_cap,
             knn_window=cfg.tpu_knn_window,
             knn_cellwin=cfg.tpu_knn_cellwin,
+            knn_dense_grid=cfg.tpu_knn_dense_grid,
+            knn_select=cfg.tpu_knn_select,
             test_score_thresh=cfg.TEST_SCORE_THRESH,
             test_npoint_thresh=cfg.TEST_NPOINT_THRESH,
             subm_k=cfg.tpu_subm_k,
@@ -458,6 +466,8 @@ class GeoFormerBase(nn.Module):
                 cell_div=mc.radius_cell_div,
                 window=mc.knn_window,
                 cellwin=mc.knn_cellwin,
+                dense_grid=mc.knn_dense_grid,
+                select=mc.knn_select,
                 with_stats=True,  # cell-capacity drops surface, never silent
             )
             nbr_d = jnp.sqrt(jnp.maximum(jnp.minimum(d2, 4.0), 0.0))

@@ -162,23 +162,28 @@ def window_lookup(cell_keys, n_cells, cc, query_cells, query_valid, spatial=1024
 
 def window_lookup_dense(table_coords, table_mask, n_cells, cc,
                         query_cells, query_valid, grid_cap=256):
-    """3^3 cell-window lookup via a dense scatter grid — experimental A/B
-    arm vs `window_lookup` (NOT wired into the model; no product knob
-    until it wins on-chip — tools/geo_bisect.py --stages knn_parts times
-    both; tests/test_radius_graph.py pins exactness).
+    """3^3 cell-window lookup via a dense scatter grid — the PRODUCTION
+    lookup (`tpu_knn_dense_grid`, default 256; measured on-chip 39.7 ms vs
+    the run-compressed form's 76.6 at prod fg with 0 mismatches,
+    ONCHIP_SUITE_r4 r4n knn_parts; tests/test_radius_graph.py pins
+    exactness vs `window_lookup`).
 
-    The shipped run-compressed lookup pays an O(T/seg) compare-count scan
-    per query row (`ranked_lookup`: its [N, T/seg] bandwidth is the 65.6 ms
-    in the r4 knn attribution). This form scatters each occupied cell's
-    slot id into a dense [grid_cap^3] int32 grid (64 MB at 256 — the fill
-    and the ~65k scatters are HBM-trivial) and turns the whole 27-window
-    into O(1) random gathers, with no key table at all. Exact while every
-    occupied cell coord is < grid_cap (12.8 m scene extent at the 5 cm
-    graph cells); occupied cells at coords >= grid_cap lose their window
-    edges — counted in the returned n_oob so a caller can surface it as a
-    degradation counter like every other capacity. Risk (why this must be
-    measured, not assumed): 4-byte random gathers from a 64 MB table may
-    be latency-bound the same way the r4d cellwin arm tied (BASELINE.md).
+    The run-compressed lookup pays an O(T/seg) compare-count scan per query
+    row (`ranked_lookup`: its [N, T/seg] bandwidth is the 65.6 ms in the r4
+    knn attribution). This form scatters each occupied cell's slot id into
+    a dense [grid_cap^3] int32 grid (64 MB at 256 — the fill and the ~65k
+    scatters are HBM-trivial) and turns the whole 27-window into O(1)
+    random gathers, with no key table at all. Exact while every occupied
+    cell coord is < grid_cap (12.8 m scene extent at the 5 cm graph cells);
+    occupied cells at coords >= grid_cap lose their window edges — counted
+    in the returned n_oob so a caller can surface it as a degradation
+    counter like every other capacity.
+
+    Precondition: valid table slots (table_mask & slot < n_cells) must
+    carry UNIQUE coords — the scatter has no tie rule, so duplicate coords
+    would get an unspecified winning slot with no warning. Holds for
+    voxelize output (its voxel table is deduped by construction), which is
+    the only producer.
 
     Returns ([N, 27] cell slots in _WINDOW order, pad = cc; n_oob int32).
     """
@@ -206,6 +211,43 @@ def window_lookup_dense(table_coords, table_mask, n_cells, cc,
     nflat = jnp.where(inr, nflat, g3)
     got = dense[nflat]  # [N,27]; empty cells already read cc
     return jnp.where(inr, got, cc), n_oob
+
+
+def select_min_k(d2, k):
+    """Exact k-smallest per row of d2 [N, W] -> (vals [N, k] ascending,
+    pos [N, k] int32 lane indices) via k sequential argmin+mask passes.
+
+    lax.top_k lowers to a per-row SORT of all W lanes (measured 91.9 ms at
+    [131072, 648] k=16 on v5e — the single biggest kNN build stage, r4n
+    knn_parts; approx_max_k only bought 16%). k argmin passes read the
+    [N, W] buffer k times (~5.4 GB at those shapes — bandwidth-bound
+    estimate ~10 ms) with a one-element-per-row scatter masking each pick;
+    the scatter stays in-place because the buffer is the fori_loop carry.
+    Tie order matches lax.top_k (lowest lane index first among equals), so
+    radius_knn's final output is bit-identical (pinned in
+    tests/test_radius_graph.py). One sanctioned divergence: on a row with
+    fewer than k finite lanes the exhausted picks re-select the same _BIG
+    lane (masking a _BIG lane with _BIG is a no-op) where top_k would list
+    distinct lanes — both carry value _BIG and die at the caller's
+    `d2k < _BIG` validity gate."""
+    n, w = d2.shape
+    rows = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, carry):
+        vals, poss, cur = carry
+        j = jnp.argmin(cur, axis=1).astype(jnp.int32)  # ties -> lowest lane
+        v = cur[rows, j]
+        vals = jax.lax.dynamic_update_slice(vals, v[:, None], (0, i))
+        poss = jax.lax.dynamic_update_slice(poss, j[:, None], (0, i))
+        cur = cur.at[rows, j].set(jnp.asarray(_BIG, d2.dtype),
+                                  mode="promise_in_bounds",
+                                  unique_indices=True)
+        return vals, poss, cur
+
+    vals0 = jnp.zeros((n, k), d2.dtype)
+    poss0 = jnp.zeros((n, k), jnp.int32)
+    vals, poss, _ = jax.lax.fori_loop(0, k, body, (vals0, poss0, d2))
+    return vals, poss
 
 
 # 27 window slots ordered center-first (by squared cell-offset norm): the
@@ -266,7 +308,8 @@ def _compact_cell_candidates(cell_pts, cell_xyz, cwin, cmask, p, window):
 
 
 def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True,
-                      cell_div=1, window=0, with_stats=False, cellwin=False):
+                      cell_div=1, window=0, with_stats=False, cellwin=False,
+                      dense_grid=0, select="topk"):
     p = points.shape[0]
     # cell-slot capacity: p // cell_div. cell_div=1 is exact for any input
     # (occupied cells <= points, always). Dense scan surfaces (2-3 cm point
@@ -291,7 +334,21 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
     # pick their window up with one [P]-row gather.
     ccoords = grid.voxel_coords[0]  # [CC, 3] (x,y,z); -1 at pad slots
     cmask = grid.voxel_mask[0]
-    cwin = window_lookup(cell_keys, n_cells, cc, ccoords, cmask, spatial)
+    if dense_grid:
+        # dense scatter-grid lookup (measured 39.7 vs 76.6 ms at prod fg,
+        # 0 mismatches — r4n knn_parts). Cells at coords >= dense_grid
+        # (scene extent > dense_grid*radius) lose ALL window edges — their
+        # own window queries go out of range AND no neighbor's window can
+        # find them — so their member points are graph drops, the same
+        # degraded-but-bounded contract as cell overflow: counted.
+        cwin, _ = window_lookup_dense(
+            ccoords, cmask, n_cells, cc, ccoords, cmask, grid_cap=dense_grid
+        )
+        oob_cell = cmask & jnp.any(ccoords >= dense_grid, axis=-1)
+        cell_n = jnp.sum((cell_pts < p).astype(jnp.int32), axis=1)
+        n_dropped = n_dropped + jnp.sum(jnp.where(oob_cell, cell_n, 0))
+    else:
+        cwin = window_lookup(cell_keys, n_cells, cc, ccoords, cmask, spatial)
 
     n_window_pts = jnp.zeros((), jnp.int32)
     if cellwin and not (window and window < 27 * cell_cap):
@@ -341,27 +398,36 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         cpos = cxyz_pad[pc]  # [P, W*3]
         width = w_
     else:
-        # full-width path (the exactness oracle): per-point candidate cells
-        # [P, 27] (one row-gather), then candidate points [P, 27*cap]
+        # full-width path (the shipped default): per-point candidate cells
+        # [P, 27] (one row-gather), then ONE merged row-gather per window
+        # slot from a packed [CC, cap*4] table — each cell's flat xyz
+        # (cap*3 lanes, build_cell_table layout) concatenated with its
+        # member indices BITCAST to f32 (exact; cast back after the
+        # gather). The previous two separate gathers (indices [P,27] rows
+        # of cap*4 B + positions [P,27] rows of cap*12 B) paid the ~7 ns
+        # row-granularity cost TWICE per (point, window slot) — 38.7 +
+        # ~25 ms at prod (r4n knn_parts); merging halves the row count for
+        # the same bytes. Bit-identical output (the tests pin vs brute
+        # force and the per-slot oracle).
         cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
         cidx = cwin_pad[jnp.minimum(p2c, cc)]  # [P, 27]
         cidx = jnp.where((p2c < cc)[:, None] & mask[:, None], cidx, cc)
-        cell_pts_pad = jnp.concatenate(
-            [cell_pts, jnp.full((1, cell_cap), p, jnp.int32)], axis=0
+        pack = jnp.concatenate(
+            [cell_xyz, jax.lax.bitcast_convert_type(cell_pts, jnp.float32)],
+            axis=1,
+        )  # [CC, cap*4]
+        pad_row = jnp.concatenate(
+            [jnp.zeros((1, cell_cap * 3), points.dtype),
+             jax.lax.bitcast_convert_type(
+                 jnp.full((1, cell_cap), p, jnp.int32), jnp.float32)],
+            axis=1,
         )
-        cand = cell_pts_pad[cidx].reshape(p, 27 * cell_cap)  # [P, C]
-
-        # candidate positions: flat-packed two-hop gather (build_cell_table
-        # packed each cell's member positions as [CC, cap*3] 2D rows — 524k
-        # point-rows total); hop 2 gathers whole cells per window slot as
-        # [P, 27] rows of cap*12 B. Measured 49 ms vs 114 ms for the
-        # per-candidate pointwise gather at fg=131072 (the pointwise form pays
-        # 27*cap point-row gathers per point); bit-identical output
-        # (tools/geo_bisect.py knn_parts: max |Δd2| 4.7e-10).
-        cell_xyz_pad = jnp.concatenate(
-            [cell_xyz, jnp.zeros((1, cell_cap * 3), points.dtype)], axis=0
-        )
-        cpos = cell_xyz_pad[cidx].reshape(p, 27 * cell_cap * 3)  # [P, C*3]
+        pack_pad = jnp.concatenate([pack, pad_row], axis=0)
+        g = pack_pad[cidx]  # [P, 27, cap*4] — one row-gather per slot
+        cpos = g[:, :, : cell_cap * 3].reshape(p, 27 * cell_cap * 3)
+        cand = jax.lax.bitcast_convert_type(
+            g[:, :, cell_cap * 3:], jnp.int32
+        ).reshape(p, 27 * cell_cap)
         width = 27 * cell_cap
 
     tq = jnp.tile(points, (1, width))  # [P, W*3] (xyzxyz...)
@@ -376,9 +442,20 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         cand = jnp.pad(cand, ((0, 0), (0, k - width)), constant_values=p)
 
     if sort:
-        neg_d, pos = jax.lax.top_k(-d2, k)  # k nearest within radius
+        if select == "passes":
+            d2k, pos = select_min_k(d2, k)  # k nearest within radius
+        elif select == "approx":
+            # recall_target 0.95: NOT exact — a dropped true-nearest edge
+            # is replaced by a farther in-window candidate. Only for A/B
+            # measurement (tools/geo_bisect.py); shipping it would need
+            # the AP-delta gate extended to its miss pattern.
+            neg_d, pos = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+            pos = pos.astype(jnp.int32)
+            d2k = -neg_d
+        else:
+            neg_d, pos = jax.lax.top_k(-d2, k)  # k nearest within radius
+            d2k = -neg_d
         idx = jnp.take_along_axis(cand, pos, axis=1)
-        d2k = -neg_d
         valid = d2k < _BIG
         idx = jnp.where(valid, idx, p)
         out = jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
@@ -404,7 +481,8 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
 
 def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
                cell_div: int = 1, window: int = 0,
-               with_stats: bool = False, cellwin: bool = False):
+               with_stats: bool = False, cellwin: bool = False,
+               dense_grid: int = 0, select: str = "topk"):
     """points [B,P,3], mask [B,P] -> (sq-dists [B,P,k] (1e30 pad), idx
     [B,P,k] int32 (P = pad)): K neighbors within `radius` of every point
     (self excluded), exact up to `cell_cap` points per radius-cell and
@@ -418,16 +496,24 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
     exact while every window holds <= that many members. cellwin=True
     materializes each cell's FULL [27*cell_cap] window once per cell
     (exact — identical candidate set; only the gather granularity
-    changes). with_stats appends
+    changes). dense_grid>0 replaces the compare-count window lookup with a
+    dense [dense_grid^3] scatter grid (exact while the scene's occupied
+    cell coords are < dense_grid; beyond that the cell's points drop from
+    the graph — counted). select picks the k-selection: "topk" (lax.top_k
+    per-row sort), "passes" (select_min_k argmin passes — exact,
+    bit-identical final output), "approx" (approx_max_k, recall 0.95 —
+    measurement only). with_stats appends
     two [B] int32 counters: points dropped from the candidate table
-    (cell-slot or per-cell capacity overflow — those points get no incoming
-    edges) and points whose candidate window overflowed `window` (their
-    edges may be non-nearest).
+    (cell-slot or per-cell capacity overflow, or dense_grid out-of-extent
+    cells — those points get no edges) and points whose candidate window
+    overflowed `window` (their edges may be non-nearest).
     """
     return jax.vmap(
         lambda pt, m: _radius_knn_scene(pt, m, radius, k, cell_cap, sort=sort,
                                         cell_div=cell_div,
                                         window=window,
                                         with_stats=with_stats,
-                                        cellwin=cellwin)
+                                        cellwin=cellwin,
+                                        dense_grid=dense_grid,
+                                        select=select)
     )(points, mask)

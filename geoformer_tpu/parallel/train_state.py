@@ -62,9 +62,21 @@ def make_optimizer(cfg, params) -> optax.GradientTransformation:
     # allocated for them (verified: freezing "unet" leaves zero moment
     # buffers under the backbone subtree), matching the reference's
     # build-optimizer-over-trainable-params memory footprint.
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"train": inner, "frozen": optax.set_to_zero()}, labels
     )
+    accum = int(getattr(cfg, "grad_accum_steps", 1) or 1)
+    if accum > 1:
+        # gradient accumulation: one v5e chip fits B=1 at prod capacities
+        # (B=2 OOMs at compile, BASELINE.md r4), while the reference trains
+        # effective batch 16 supervised / 8 episodic on one GPU
+        # (/root/reference/config/geoformer_scannet.yaml:38-42). MultiSteps
+        # averages grads over `accum` micro-steps and applies the inner
+        # update on the last one (identity updates between) — the
+        # accumulator costs one params-sized buffer, not an activations
+        # buffer, so accumulated-16 fits wherever B=1 fits.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx
 
 
 def set_learning_rate(opt_state, lr: float):
@@ -76,6 +88,10 @@ def set_learning_rate(opt_state, lr: float):
 
 
 def _set_lr(opt_state, lr):
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiStepsState
+        return opt_state._replace(
+            inner_opt_state=_set_lr(opt_state.inner_opt_state, lr)
+        )
     if hasattr(opt_state, "inner_states"):
         inner = dict(opt_state.inner_states)
         st = inner["train"]

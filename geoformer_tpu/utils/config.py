@@ -80,6 +80,11 @@ _DEFAULTS = dict(
     weight_decay=0.0001,
     save_freq=10,
     save_freq_last=2,
+    # micro-steps averaged per optimizer update (optax.MultiSteps): one
+    # chip fits B=1 at prod capacities, so the reference's effective batch
+    # 16/8 on one chip is batch_size=1 x grad_accum_steps=16/8 (or dp
+    # sharding across chips). 1 = off
+    grad_accum_steps=1,
     fix_module=[],
     loss_weight=[1.0, 1.0, 1.0, 1.0],  # PointGroup legacy (unused, kept for YAML compat)
     # set-criterion term weights (reference hardwires 1/1/1, criterion.py:129-133)
@@ -147,6 +152,20 @@ _DEFAULTS = dict(
     # row-gather, replacing 27 tile-padded row-gathers per point. Default
     # False pending the on-chip A/B (geo_bisect --cellwin; BASELINE.md)
     tpu_knn_cellwin=False,
+    # dense scatter-grid 27-window lookup for the radius kNN (0 = the
+    # run-compressed compare-count lookup). Measured on-chip 39.7 vs
+    # 76.6 ms at prod fg with 0 mismatches (ONCHIP_SUITE_r4 r4n). Exact
+    # while occupied cell coords < this (256 = 12.8 m extent at 5 cm
+    # cells, beyond any ScanNet room); farther cells' points drop from the
+    # graph and surface in n_radius_cell_overflow
+    tpu_knn_dense_grid=256,
+    # k-selection over the candidate window: "topk" (lax.top_k per-row
+    # sort) ships. MEASURED on-chip at prod fg (ONCHIP_SUITE_r5 knn_ab):
+    # topk 218.3 ms e2e; "passes" (k argmin passes, exact) 295.1 ms —
+    # k sequential full-buffer reduces cost MORE than the one per-row
+    # sort; "approx" (approx_max_k recall .95) 213.7 ms for 0.6% wrong
+    # edges — not worth exactness. Knob kept for measurement only.
+    tpu_knn_select="topk",
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
                                 # (ops/brick.py; 0 = gather-rulebook path)

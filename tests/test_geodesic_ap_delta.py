@@ -58,10 +58,102 @@ def make_walled_scene(seed=0, spacing=0.02):
     return all_pts, inst
 
 
+def make_multiroom_scene(seed=1, spacing=0.025):
+    """Four rooms in a 2x2 layout whose doors form a LOOP: (0,0)-(1,0) at
+    low y, (1,0)-(1,1) at high x, (1,1)-(0,1) at high y — so the two
+    instances hugging the (0,0)/(0,1) shared wall are ~15 cm apart
+    euclidean but ~5 m geodesic (three doors). Probes multi-hop long-range
+    propagation through the coarse graph (the walled scene has one door)."""
+    rng = np.random.default_rng(seed)
+    xs = np.arange(0.05, 2.95, spacing)
+    gx, gy = np.meshgrid(xs, xs)
+    wall_x = (np.abs(gx - 1.5) < 0.035) & ~((gy > 0.5) & (gy < 0.8))
+    wall_y = (np.abs(gy - 1.5) < 0.035) & ~((gx > 2.2) & (gx < 2.5))
+    # the x-wall door only exists at LOW y (room row 0): re-block it in row 1
+    wall_x |= (np.abs(gx - 1.5) < 0.035) & (gy >= 1.5)
+    keep = ~(wall_x | wall_y)
+    floor = np.stack([gx[keep], gy[keep], np.zeros(keep.sum())], axis=1)
+    xyz = (floor + rng.normal(0, 0.002, floor.shape)).astype(np.float32)
+
+    def blob(center, n=130, r=0.12):
+        d = rng.normal(size=(n, 3)) * [1, 1, 0]
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        return (center + d * (rng.random((n, 1)) ** 0.5) * r).astype(np.float32)
+
+    inst_a = blob(np.array([0.7, 1.35, 0.0]))   # room (0,0), at the y-wall
+    inst_b = blob(np.array([0.7, 1.65, 0.0]))   # room (0,1), other side
+    all_pts = np.concatenate([xyz, inst_a, inst_b])
+    inst = np.full(all_pts.shape[0], -1, np.int32)
+    inst[xyz.shape[0]: xyz.shape[0] + len(inst_a)] = 0
+    inst[xyz.shape[0] + len(inst_a):] = 1
+    return all_pts, inst
+
+
+def make_bridge_scene(seed=2, spacing=0.02):
+    """Two floor islands separated by a 10 cm void, connected only by a
+    ~4 cm-wide bridge at the far end. The instances face each other across
+    the void (~20 cm euclidean — inside the 0.25 m oracle ball) and the
+    geodesic route runs ~1.5 m through the thin bridge. Probes that the
+    coarse contraction keeps a one-cell-wide connection alive (a lost
+    bridge makes the far instance unreachable; a euclidean bleed merges
+    them)."""
+    rng = np.random.default_rng(seed)
+    xs_a = np.arange(0.05, 1.0, spacing)
+    xs_b = np.arange(1.1, 2.05, spacing)
+    ys = np.arange(0.05, 1.2, spacing)
+    ga_x, ga_y = np.meshgrid(xs_a, ys)
+    gb_x, gb_y = np.meshgrid(xs_b, ys)
+    isl_a = np.stack([ga_x.ravel(), ga_y.ravel(), np.zeros(ga_x.size)], 1)
+    isl_b = np.stack([gb_x.ravel(), gb_y.ravel(), np.zeros(gb_x.size)], 1)
+    # bridge at SCAN density (the cap is sized for 2 cm spacing; a
+    # half-spacing bridge put >24 points in one 5 cm cell — an unphysical
+    # density, not a capacity finding): 2-3 rows wide, connected at r=5 cm
+    bx = np.arange(0.98, 1.12, spacing)
+    by = np.arange(1.1, 1.15, spacing)
+    gbr_x, gbr_y = np.meshgrid(bx, by)
+    bridge = np.stack([gbr_x.ravel(), gbr_y.ravel(), np.zeros(gbr_x.size)], 1)
+    floor = np.concatenate([isl_a, isl_b, bridge])
+    xyz = (floor + rng.normal(0, 0.002, floor.shape)).astype(np.float32)
+
+    def blob(center, n=130, r=0.1):
+        d = rng.normal(size=(n, 3)) * [1, 1, 0]
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        return (center + d * (rng.random((n, 1)) ** 0.5) * r).astype(np.float32)
+
+    inst_a = blob(np.array([0.93, 0.3, 0.0]))
+    inst_b = blob(np.array([1.17, 0.3, 0.0]))
+    all_pts = np.concatenate([xyz, inst_a, inst_b])
+    inst = np.full(all_pts.shape[0], -1, np.int32)
+    inst[xyz.shape[0]: xyz.shape[0] + len(inst_a)] = 0
+    inst[xyz.shape[0] + len(inst_a):] = 1
+    return all_pts, inst
+
+
+def make_clutter_scene(seed=3, spacing=0.02):
+    """The walled scene plus ~18 dense 3-D distractor blobs (furniture):
+    highly non-uniform cell occupancy. Probes the shipped radius_cell_cap
+    against density hot-spots (must stay drop-free) and the hier solve's
+    accuracy when the coarse graph's cells straddle clutter."""
+    rng = np.random.default_rng(seed)
+    pts, inst = make_walled_scene(seed=seed, spacing=spacing)
+    clutter = []
+    for _ in range(18):
+        c = np.array([rng.uniform(0.15, 1.85), rng.uniform(0.15, 1.85),
+                      rng.uniform(0.0, 0.1)])
+        if abs(c[0] - 1.0) < 0.15:  # keep the wall void clean
+            continue
+        n = rng.integers(150, 300)
+        clutter.append((c + rng.normal(0, 0.05, (n, 3))).astype(np.float32))
+    all_pts = np.concatenate([pts] + clutter)
+    inst = np.concatenate(
+        [inst, np.full(all_pts.shape[0] - pts.shape[0], -1, np.int32)])
+    return all_pts, inst
+
+
 def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
                    window=0, report_drops=False, cell_factor=2.0, kc=32,
-                   coarse_eps=0.0, fine_block=None):
-    pts, inst = make_walled_scene()
+                   coarse_eps=0.0, fine_block=None, scene=make_walled_scene):
+    pts, inst = scene()
     f = pts.shape[0]
     mask = np.ones(f, bool)
     radius = 0.05
@@ -119,6 +211,38 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
         return (a["all_ap_50%"], a["all_ap_25%"],
                 int(n_drop[0]), int(n_wovf[0]), f)
     return a["all_ap_50%"], a["all_ap_25%"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "scene", [make_walled_scene, make_multiroom_scene, make_bridge_scene,
+              make_clutter_scene],
+    ids=["walled", "multiroom-loop", "thin-bridge", "clutter"])
+def test_shipped_hier_defaults_ap_all_topologies(scene):
+    """Gate the SHIPPED hier defaults (fine_k=16, fine_sweeps=4,
+    radius_cell_cap=24 — tpu_* config defaults) on every topology the
+    approximation could plausibly break: one-door wall, multi-room loop,
+    thin bridge, clutter (VERDICT r4 #7: one synthetic topology is not a
+    gate). Exact solver must nail each scene; hier within 0.05 AP; the
+    shipped cell cap must be drop-free on all of them."""
+    from geoformer_tpu.models.geoformer import ModelConfig
+    from geoformer_tpu.utils.config import load_config
+
+    mc = ModelConfig.from_cfg(load_config(None))
+    assert (mc.geodesic_fine_k, mc.geodesic_fine_sweeps,
+            mc.radius_cell_cap) == (16, 4, 24), (
+        "shipped geodesic/graph defaults moved — update this gate")
+    ap50_e, ap25_e = _ap_for_solver(hier=False, cell_cap=mc.radius_cell_cap,
+                                    scene=scene)
+    assert ap50_e == 1.0 and ap25_e == 1.0, (
+        f"exact solver failed the {scene.__name__} oracle: {ap50_e}/{ap25_e}")
+    ap50_h, ap25_h, n_drop, _, _ = _ap_for_solver(
+        hier=True, fine_k=mc.geodesic_fine_k,
+        fine_sweeps=mc.geodesic_fine_sweeps, cell_cap=mc.radius_cell_cap,
+        report_drops=True, scene=scene)
+    assert n_drop == 0, f"{scene.__name__}: shipped cap dropped {n_drop} pts"
+    assert ap50_h >= ap50_e - 0.05, (scene.__name__, ap50_h)
+    assert ap25_h >= ap25_e - 0.05, (scene.__name__, ap25_h)
 
 
 @pytest.mark.slow
@@ -196,8 +320,10 @@ def test_window_overflow_ap_floor():
     same floor as the hard-drop table in BASELINE.md r4). The pre-fix
     cell-sequential truncation scored AP 0.0 — all edges pointed into one
     face cell and geodesic propagation died; this is the regression pin.
-    The SHIPPED window (128) overflows ~1% at bench density with no AP
-    effect (test_radius_knn_window_exact covers the exact regime)."""
+    The shipped config keeps the compaction OFF (tpu_knn_window=0 — it
+    measured a 5.5x loss at prod, BASELINE.md r4); this pins the soft-
+    degradation contract for configs that do enable it
+    (test_radius_knn_window_exact covers the exact regime)."""
     ap50, ap25, n_drop, n_wovf, f = _ap_for_solver(
         hier=True, fine_k=16, fine_sweeps=4, cell_cap=16, window=20,
         report_drops=True)

@@ -287,3 +287,76 @@ def test_ranked_lookup_matches_searchsorted():
         want = np.searchsorted(table, qs, side="left")
         got = np.asarray(ranked_lookup(jnp.asarray(table), jnp.asarray(qs)))
         np.testing.assert_array_equal(got, want)
+
+def test_radius_knn_dense_grid_exact_and_counts_oob():
+    """dense_grid (the production window lookup) returns the IDENTICAL
+    graph to the compare-count path while the scene fits, and counts the
+    points of out-of-extent cells as graph drops when it doesn't."""
+    rng = np.random.default_rng(29)
+    pts = jnp.asarray(rng.uniform(0, 1, size=(1, 600, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((1, 600)) > 0.06)
+    d1, i1, ovf1, _ = radius_knn(pts, mask, 0.1, 8, cell_cap=16, cell_div=1,
+                                 with_stats=True)
+    d2_, i2, ovf2, _ = radius_knn(pts, mask, 0.1, 8, cell_cap=16, cell_div=1,
+                                  dense_grid=256, with_stats=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2_), rtol=1e-6)
+    assert int(ovf2[0]) == int(ovf1[0]) == 0
+
+    # scene spans ~10 cells at radius 0.1; grid_cap=4 puts the far cells
+    # out of extent -> their points lose every edge and are counted
+    d3, i3, ovf3, _ = radius_knn(pts, mask, 0.1, 8, cell_cap=16, cell_div=1,
+                                 dense_grid=4, with_stats=True)
+    assert int(ovf3[0]) > 0
+    # in-extent edges that survive are still real in-radius neighbors
+    live = np.asarray(d3[0]) < 1e30
+    assert live.any()
+    p = pts.shape[1]
+    qi = np.broadcast_to(np.arange(p)[:, None], np.asarray(i3[0]).shape)
+    pn = np.asarray(pts[0])
+    d_true = ((pn[np.minimum(np.asarray(i3[0]), p - 1)] - pn[qi]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d3[0])[live], d_true[live], rtol=1e-4)
+
+
+def test_radius_knn_select_passes_bit_identical():
+    """select="passes" (k argmin passes) == select="topk" exactly: same
+    indices and d2, including tie-heavy dense clusters and rows with fewer
+    than k in-radius neighbors (exhausted picks die at the validity gate)."""
+    rng = np.random.default_rng(31)
+    # uniform cloud (sparse rows) + a coincident blob (ties)
+    pts = np.concatenate([
+        rng.uniform(0, 1, size=(400, 3)),
+        np.full((40, 3), 0.5) + rng.normal(0, 1e-4, size=(40, 3)),
+    ]).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    mask[-7:] = False
+    for cap, k in [(16, 8), (64, 16)]:
+        a_d, a_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              0.1, k, cell_cap=cap, select="topk")
+        b_d, b_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              0.1, k, cell_cap=cap, select="passes")
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_array_equal(np.asarray(a_d), np.asarray(b_d))
+
+
+def test_select_min_k_matches_topk():
+    """select_min_k == lax.top_k(-x) on finite lanes (values AND lanes),
+    for ties and k > #finite lanes."""
+    import jax
+    from geoformer_tpu.ops.radius_graph import select_min_k
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0, 1, size=(64, 37)).astype(np.float32)
+    x[x > 0.7] = 1e30           # invalid lanes
+    x[5] = 1e30                 # a fully-invalid row
+    x[6, :3] = 0.25             # ties
+    for k in (1, 5, 16):
+        want_v, want_p = jax.lax.top_k(-jnp.asarray(x), k)
+        got_v, got_p = select_min_k(jnp.asarray(x), k)
+        finite = np.asarray(-want_v) < 1e30
+        np.testing.assert_array_equal(np.asarray(got_v)[finite],
+                                      np.asarray(-want_v)[finite])
+        np.testing.assert_array_equal(np.asarray(got_p)[finite],
+                                      np.asarray(want_p)[finite])
+        # exhausted picks all carry the sentinel value
+        assert (np.asarray(got_v)[~finite] >= 1e30).all()

@@ -97,6 +97,114 @@ def bench_level(nb, cin, cout, occupancy, reps, compute_dtype, fold=False):
     return per_conv, one_ms, compile_s
 
 
+def bench_parts(nb, c, occupancy, reps, compute_dtype):
+    """Decompose the folded conv's cost: halo-pad only, conv on a
+    PRE-padded buffer, 9-tap slice+dot accumulation on the same buffer,
+    and the assembled op — each scan-amortized in its own jit. The full op
+    measured ~13x its traffic roofline (8.0 ms at NB=4096 C16 bf16, r4k);
+    this pins which half owns the gap and whether the conv emitter's
+    [NB,10,10,10C] VALID lowering loses to explicit shifted matmuls."""
+    from geoformer_tpu.ops.brick import (BS, _halo_pad_axis,
+                                         _halo_pad_folded_x,
+                                         _axis_offset_index,
+                                         build_banded_kernel, build_brick_plan,
+                                         dense_subm_conv_folded, fold_mask,
+                                         fold_x)
+    from geoformer_tpu.ops.voxelize import voxelize
+
+    rng = np.random.default_rng(0)
+    v = nb * occupancy
+    bricks = rng.permutation(nb * 2)[:nb]
+    cells = rng.permutation(BS**3)[:occupancy]
+    bx = np.stack(np.unravel_index(bricks, (16, 16, nb * 2 // 256 + 1)), -1)
+    cx = np.stack(np.unravel_index(cells, (BS, BS, BS)), -1)
+    coords = (bx[:, None, :] * BS + cx[None, :, :]).reshape(-1, 3)[:v]
+    coords = jnp.asarray(coords[None], jnp.int32)
+    mask = jnp.ones((1, v), bool)
+    grid = voxelize(coords, mask, v, 1024)
+    plan = build_brick_plan(grid, 1024, nb)
+    dtype = compute_dtype or jnp.float32
+    x = fold_x(jnp.asarray(rng.normal(size=(1, nb, BS, BS, BS, c)), dtype))
+    w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.1, jnp.float32)
+    segs = (c,)
+
+    def pad_one(f, nbr):
+        p = _halo_pad_axis(f, nbr, _axis_offset_index(-1, 0, 0),
+                           _axis_offset_index(1, 0, 0), axis=1)
+        p = _halo_pad_axis(p, nbr, _axis_offset_index(0, -1, 0),
+                           _axis_offset_index(0, 1, 0), axis=2)
+        return _halo_pad_folded_x(p, nbr, segs)
+
+    band = build_banded_kernel(w, segs)  # [3,3,10c,8c]
+    if compute_dtype is not None:
+        band = band.astype(compute_dtype)
+
+    def scan_bench(body, init, label):
+        @jax.jit
+        def run(x0, plan):
+            def step(cr, _):
+                return body(cr, plan), ()
+            y, _ = jax.lax.scan(step, x0, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
+
+        float(run(init, plan))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(init, plan))
+            ts.append(time.perf_counter() - t0)
+        print(f"NB={nb:5d} C={c:3d} {label:18s}: "
+              f"{float(np.median(ts)) / reps * 1e3:7.2f} ms/iter", flush=True)
+
+    # 1. halo pad only (output trimmed back to carry shape)
+    def body_pad(cr, plan):
+        p = jax.vmap(pad_one)(cr, plan.nbr)
+        return p[:, :, 1:9, 1:9, c:9 * c].astype(cr.dtype)
+
+    scan_bench(body_pad, x, "pad only")
+
+    # 2. conv on a pre-padded buffer (pad cost excluded; carry IS padded)
+    xp = jax.vmap(pad_one)(x, plan.nbr)
+
+    def body_conv(cr, plan):
+        y = jax.vmap(lambda p: jax.lax.conv_general_dilated(
+            p, band, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))(cr)
+        # re-pad shape by edge-extending so the carry stays padded-shaped
+        return jnp.pad(y, ((0, 0), (0, 0), (1, 1), (1, 1), (c, c))
+                       ).astype(cr.dtype)
+
+    scan_bench(body_conv, xp, "conv prepadded")
+
+    # 3. 9-tap shifted dot accumulation on the same pre-padded buffer
+    def body_dots(cr, plan):
+        acc = None
+        for kz in range(3):
+            for ky in range(3):
+                sl = cr[:, :, kz:kz + 8, ky:ky + 8, :]
+                d = jax.lax.dot_general(
+                    sl, band[kz, ky], (((4,), (0,)), ((), ())))
+                acc = d if acc is None else acc + d
+        return jnp.pad(acc, ((0, 0), (0, 0), (1, 1), (1, 1), (c, c))
+                       ).astype(cr.dtype)
+
+    scan_bench(body_dots, xp, "9-tap dots")
+
+    # 4. the assembled production op (mask + pad + conv)
+    def body_full(cr, plan):
+        return dense_subm_conv_folded(cr, plan, w, segs,
+                                      compute_dtype=compute_dtype
+                                      ).astype(cr.dtype)
+
+    scan_bench(body_full, x, "full folded conv")
+
+    # 5. occupancy-mask pass alone
+    def body_mask(cr, plan):
+        return jnp.where(fold_mask(plan.occ, segs), cr, 0)
+
+    scan_bench(body_mask, x, "mask pass only")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=8)
@@ -104,7 +212,16 @@ def main():
     ap.add_argument("--occupancy", type=int, default=64)
     ap.add_argument("--fold", action="store_true",
                     help="x-folded layout + banded 2D conv (skips C-change rows)")
+    ap.add_argument("--parts", action="store_true",
+                    help="decompose the folded conv: pad / conv / dots / full")
     args = ap.parse_args()
+    if args.parts:
+        cd = jnp.bfloat16 if args.bf16 else None
+        print(f"device={jax.devices()[0]} reps={args.reps} "
+              f"dtype={'bf16' if args.bf16 else 'f32'} [parts]")
+        for nb, c in [(4096, 16), (2048, 32), (1024, 48)]:
+            bench_parts(nb, c, args.occupancy, args.reps, cd)
+        return
     cd = jnp.bfloat16 if args.bf16 else None
     print(f"device={jax.devices()[0]} reps={args.reps} "
           f"dtype={'bf16' if args.bf16 else 'f32'}")

@@ -108,10 +108,19 @@ def main():
     seed_mask = jnp.ones((1, q), bool)
     print(f"device={jax.devices()[0]} fg={f} q={q} knn={args.knn}", flush=True)
 
+    _ALL = [
+        "knn_sorted", "knn_cellwin", "knn_window", "knn_unsorted", "knn_parts",
+        "knn_ab", "contract", "contract_parts", "coarse", "fine", "hier",
+    ]
     want = args.stages.split(",") if args.stages != "all" else [
         "knn_sorted", "knn_cellwin", "knn_window", "knn_parts", "contract",
         "coarse", "fine", "hier",
     ]
+    unknown = [s for s in want if s not in _ALL]
+    if unknown:
+        # fail LOUDLY: silently ignored tokens wasted a queued on-chip run
+        # (ADVICE r4 — '--stages knn' timed nothing)
+        raise SystemExit(f"unknown --stages tokens {unknown}; valid: {_ALL}")
 
     knn = jax.jit(functools.partial(
         radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
@@ -121,6 +130,24 @@ def main():
 
     if "knn_sorted" in want:
         timed(knn, pts, mask, label="radius_knn sort=True")
+    if "knn_ab" in want:
+        # full-op A/B of the r5 levers: dense-grid window lookup x
+        # k-selection (topk sort / argmin passes / approx). Every arm's
+        # output is checked against the baseline op (passes/dense are
+        # exact; approx reports its miss count instead)
+        for dense in (0, 256):
+            for sel in ("topk", "passes", "approx"):
+                arm = jax.jit(functools.partial(
+                    radius_knn, radius=args.radius, k=args.knn,
+                    cell_cap=args.cell_cap, cell_div=args.cell_div,
+                    dense_grid=dense, select=sel))
+                d2a, nbra = timed(
+                    arm, pts, mask,
+                    label=f"radius_knn dense={dense} select={sel}")
+                n_mism = int(jnp.sum(nbra != nbr))
+                tag = "exact" if sel != "approx" else "approx-misses"
+                print(f"  {tag}: idx mismatches vs baseline = {n_mism}",
+                      flush=True)
     if "knn_cellwin" in want:
         knn_cw = jax.jit(functools.partial(
             radius_knn, radius=args.radius, k=args.knn, cell_cap=args.cell_cap,
@@ -279,6 +306,41 @@ def main():
             print(f"  flat-vs-pointwise d2 max err: {err:.2e}", flush=True)
 
         @jax.jit
+        def s_pack_d2(cidx, cell_pts, points, mask):
+            # r5 production path: ONE row-gather per (point, window slot)
+            # from the packed [CC, cap*4] table (xyz || bitcast idx)
+            pts_pad = jnp.concatenate(
+                [points[0], jnp.zeros((1, 3), points.dtype)], axis=0)
+            cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cap * 3)
+            pack = jnp.concatenate(
+                [cell_xyz, jax.lax.bitcast_convert_type(cell_pts, jnp.float32)],
+                axis=1)
+            pad_row = jnp.concatenate(
+                [jnp.zeros((1, cap * 3), points.dtype),
+                 jax.lax.bitcast_convert_type(
+                     jnp.full((1, cap), f, jnp.int32), jnp.float32)], axis=1)
+            g = jnp.concatenate([pack, pad_row], axis=0)[cidx]  # [P,27,cap*4]
+            cpos = g[:, :, : cap * 3].reshape(f, 27 * cap * 3)
+            candm = jax.lax.bitcast_convert_type(
+                g[:, :, cap * 3:], jnp.int32).reshape(f, 27 * cap)
+            tq = jnp.tile(points[0], (1, 27 * cap))
+            diff2 = (cpos - tq) ** 2
+            d2 = diff2[:, 0::3] + diff2[:, 1::3] + diff2[:, 2::3]
+            bad = (candm >= f) | (
+                candm == jnp.arange(f, dtype=jnp.int32)[:, None]) | (
+                d2 > args.radius * args.radius) | ~mask[0][:, None]
+            return jnp.where(bad, _BIG, d2), candm
+
+        d2m, candm = timed(s_pack_d2, cidx, cell_pts, pts, mask,
+                           label="knn: MERGED pack gather+d2")
+        err_m = float(jnp.max(jnp.abs(jnp.minimum(d2m, _BIG) -
+                                      jnp.minimum(d2flat, _BIG))))
+        n_cm = int(jnp.sum(candm != cand))
+        print(f"  merged-vs-split: d2 max err {err_m:.2e}, "
+              f"idx mismatches {n_cm}", flush=True)
+        del d2m, candm
+
+        @jax.jit
         def s_topk(d2, cand):
             neg_d, pos = jax.lax.top_k(-d2, args.knn)
             idx = jnp.take_along_axis(cand, pos, axis=1)
@@ -295,6 +357,17 @@ def main():
 
         timed(s_approx_topk, d2flat, cand,
               label=f"knn: approx_top_k k={args.knn}")
+
+        from geoformer_tpu.ops.radius_graph import select_min_k
+
+        @jax.jit
+        def s_passes(d2, cand):
+            d2k, pos = select_min_k(d2, args.knn)
+            idx = jnp.take_along_axis(cand, pos, axis=1)
+            return d2k, idx
+
+        timed(s_passes, d2flat, cand,
+              label=f"knn: select_min_k k={args.knn}")
         del cand, d2full, d2flat, cidx, cell_pts
 
     cell = args.radius * args.cell_factor

@@ -97,13 +97,23 @@ def main(root="data", n_scenes=8, n_points=800, seed=0):
         with open(os.path.join(base, f"test_combinations_fold{fold}.pkl"), "wb") as f:
             pickle.dump(combs, f)
 
-        sets = []
-        for run in range(10):
-            sets.append({c: [tuple(class2instances[c][0])] for c in FOLD[fold]})
-        with open(
-            os.path.join(base, "support_sets", f"fullscene_fold{fold}_1shot_10sets.pkl"), "wb"
-        ) as f:
-            pickle.dump(sets, f)
+        # k-shot support sets for K in {1, 5} (the reference protocol,
+        # /root/reference/test_fs.py:136; file naming matches
+        # episodic.load_support_sets). Classes with fewer than K distinct
+        # instances repeat (the mean embedding is still over K tuples).
+        for k in (1, 5):
+            sets = []
+            for run in range(10):
+                sets.append({
+                    c: [tuple(class2instances[c][i % len(class2instances[c])])
+                        for i in range(k)]
+                    for c in FOLD[fold]
+                })
+            with open(
+                os.path.join(base, "support_sets",
+                             f"fullscene_fold{fold}_{k}shot_10sets.pkl"), "wb"
+            ) as f:
+                pickle.dump(sets, f)
     print(f"synthetic dataset at {base}: {n_scenes} scenes x {n_points} pts")
 
 

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--f32", action="store_true",
                     help="f32 level residency (shipped prod default is "
                          "bf16; no-remat f32 measured 21.2 GB HBM)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="grad_accum_steps: micro-steps averaged per optax "
+                         "update (effective batch = batch_size * accum; the "
+                         "reference's bs=16/8 on a B=1 chip)")
     args = ap.parse_args()
 
     from geoformer_tpu.utils.compilation_cache import enable_compilation_cache
@@ -81,6 +85,7 @@ def main():
         tpu_remat=bool(args.remat),
         tpu_compute_dtype="float32" if args.f32 else "bfloat16",
         prepare_epochs=120 if args.prepare else 0,
+        grad_accum_steps=args.accum,
     )
     mesh = None
     if args.mesh:
@@ -138,6 +143,11 @@ def main():
     p50 = float(np.median(ts))
     sps = args.batch_size / p50
     print(f"p50 step: {p50 * 1000:.1f}ms  scenes/s: {sps:.2f}", flush=True)
+    if args.accum > 1:
+        print(f"accum={args.accum}: effective batch "
+              f"{args.batch_size * args.accum}, optimizer update every "
+              f"{args.accum} micro-steps ({p50 * args.accum * 1000:.1f}ms "
+              f"p50 per update)", flush=True)
 
     # per-device compiled memory accounting, where the backend exposes it
     try:
