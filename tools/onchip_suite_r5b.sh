@@ -50,8 +50,10 @@ run() {
 
 echo "=== R5B start [$(date +%H:%M:%S)] end-by $(date -d @"$END_BY" +%H:%M:%S)" >> "$LOG"
 
+# (fine_k=8 fine-sweep arm dropped: it fails the multi-room-loop AP gate
+# on CPU — 0.50 vs 1.00 — so its latency win is unshippable; fine_k=16
+# stays. The 4-topology gate caught what the single walled scene missed.)
 run 2400 python tools/geo_bisect.py --fg 131072 --queries 256 --knn 16 --cell_cap 24 --cell_div 2 --fine_sweeps 4 --stages knn_sorted,knn_parts
-run 1800 python tools/geo_bisect.py --fg 131072 --queries 256 --knn 16 --cell_cap 24 --cell_div 2 --fine_sweeps 4 --fine_k 8 --stages fine,hier
 run 2400 python tools/brick_kernel_bench.py --reps 8 --bf16 --parts
 run 2400 python bench.py
 run 2400 python bench.py --scale prod
