@@ -79,7 +79,7 @@ class ModelConfig:
     # at eval scale, O(cell)-approximate (the reference field is itself a
     # capped first-visit BFS approximation, geodesic_utils.py:91-164)
     geodesic_hier: bool = True
-    geodesic_fine_sweeps: int = 4  # keep in sync with utils/config.py
+    geodesic_fine_sweeps: int = 2  # keep in sync with utils/config.py
     # fine smoothing runs on the nearest fine_k edge slots only (0 = all):
     # the prod-scale fine-sweep gathers were the single biggest line item
     # (~1.1 s of the 2.5 s forward at 131k fg points, K=64)

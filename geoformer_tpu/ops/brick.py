@@ -108,29 +108,59 @@ def _gather_scene(dense, brick, cell, nb):
     return flat_dense[idx]
 
 
-def _axis_offset_index(dz, dy, dx):
-    """Slot of (dz,dy,dx) in the SUBM_OFFSETS enumeration."""
-    return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+def _halo_row_maps(nbr, nb):
+    """Neighbor table [NB,27] -> three [NB,10,10] row maps into the
+    (brick, z, y) row flattening (sink row = NB*64), one per x-part of the
+    halo: dx=-1 (x-lo face), dx=0 (body rows), dx=+1 (x-hi face).
+
+    Row (n, pz, py) of the padded tensor sources brick nbr[n, (dz,dy,dx)]
+    at in-brick (z', y') with dz/dy = -1/0/+1 for pz/py = 0 / 1..8 / 9 and
+    z' = (pz-1) mod 8. Every halo row indexes its TRUE diagonal brick via
+    the 27-slot table — the previous separable z-then-y-then-x exchange
+    lost edge/corner contributions whenever a face-neighbor brick was
+    empty while the diagonal brick was occupied (a real submanifold
+    adjacency on thin diagonal structures; regression-pinned in
+    tests/test_brick_conv.py test_diagonal_corner_adjacency)."""
+    p10 = jnp.arange(10, dtype=jnp.int32)
+    d1 = jnp.where(p10 == 0, -1, jnp.where(p10 == 9, 1, 0))  # [10] dz/dy
+    inb = (p10 - 1) % 8  # [10] in-brick coordinate
+    maps = []
+    for dx in (-1, 0, 1):
+        slot = (d1[:, None] + 1) * 9 + (d1[None, :] + 1) * 3 + (dx + 1)  # [10,10]
+        src = nbr[:, slot]  # [NB,10,10]
+        row = src * (BS * BS) + inb[None, :, None] * BS + inb[None, None, :]
+        maps.append(jnp.where(src < nb, row, nb * BS * BS))
+    return maps
 
 
 def _halo_pad_scene(dense, nbr, nb):
     """[NB,8,8,8,C] + neighbor table [NB,27] -> [NB,10,10,10,C].
 
-    Separable halo exchange: pad z from the z-neighbors, then y from the
-    *already z-padded* y-neighbors, then x from the zy-padded x-neighbors —
-    edges and corners arrive automatically because a neighbor's pad already
-    contains ITS neighbors' faces. 6 face gathers + 3 concats total,
-    instead of 26 sequential in-place updates of the padded buffer (which
-    measured ~9 ms/conv at 1024 bricks — each .at[].set rewrites it).
-    Face slices come FIRST (small contiguous copies), then the gathers —
-    the gathered rows are single faces, not whole bricks."""
-    x = _halo_pad_axis(dense, nbr, _axis_offset_index(-1, 0, 0),
-                       _axis_offset_index(1, 0, 0), axis=1)
-    x = _halo_pad_axis(x, nbr, _axis_offset_index(0, -1, 0),
-                       _axis_offset_index(0, 1, 0), axis=2)
-    x = _halo_pad_axis(x, nbr, _axis_offset_index(0, 0, -1),
-                       _axis_offset_index(0, 0, 1), axis=3)
-    return x
+    Three row-gathers over the (brick, z, y) row maps — body rows [8,C]
+    wide plus the x=7 / x=0 faces for the x halo — then one x-axis concat.
+    Exact for every occupied-brick configuration (see _halo_row_maps), and
+    cheaper than the former separable exchange: one materialized [NB,10,
+    10,*] buffer per part instead of three progressively larger concats."""
+    c = dense.shape[-1]
+    map_lo, map_mid, map_hi = _halo_row_maps(nbr, nb)
+    zero = lambda w: jnp.zeros((1, w), dense.dtype)
+    body = jnp.concatenate(
+        [dense.reshape(nb * BS * BS, BS * c), zero(BS * c)], axis=0
+    )
+    lo = jnp.concatenate(
+        [dense[:, :, :, BS - 1, :].reshape(nb * BS * BS, c), zero(c)], axis=0
+    )
+    hi = jnp.concatenate(
+        [dense[:, :, :, 0, :].reshape(nb * BS * BS, c), zero(c)], axis=0
+    )
+    return jnp.concatenate(
+        [
+            lo[map_lo][..., None, :],               # [NB,10,10,1,C]
+            body[map_mid].reshape(nb, 10, 10, BS, c),
+            hi[map_hi][..., None, :],
+        ],
+        axis=3,
+    )
 
 
 def to_dense(feats: jax.Array, plan: BrickPlan) -> jax.Array:
@@ -201,16 +231,38 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
     return jax.vmap(scene)(dense, plan.nbr)
 
 
-def _halo_pad_axis(x, nbr, lo_slot, hi_slot, axis):
-    """One spatial axis of the separable halo exchange (see
-    _halo_pad_scene): gather the neighbors' boundary faces and concat."""
-    zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
-    xp = jnp.concatenate([x, zero], axis=0)
-    lo_band = jax.lax.slice_in_dim(xp, BS - 1, BS, axis=axis)
-    hi_band = jax.lax.slice_in_dim(xp, 0, 1, axis=axis)
-    lo_face = lo_band[nbr[:, lo_slot]]
-    hi_face = hi_band[nbr[:, hi_slot]]
-    return jnp.concatenate([lo_face, x, hi_face], axis=axis)
+def _halo_pad_folded(x, nbr, segs):
+    """Folded-layout halo: [NB,8,8,sum(8c)] -> [NB,10,10,sum(10c)].
+
+    Same three row-gathers as _halo_pad_scene (exact diagonal sourcing);
+    the x halo lives on the lane axis, so the lo/hi operands are the
+    per-segment x=7 / x=0 lane blocks and the final concat interleaves
+    [lo_s, body_s, hi_s] per segment — the layout build_banded_kernel's
+    rows expect."""
+    segs = tuple(segs)
+    nb = x.shape[0]
+    rows = nb * BS * BS
+    map_lo, map_mid, map_hi = _halo_row_maps(nbr, nb)
+    zero = lambda w: jnp.zeros((1, w), x.dtype)
+    xr = x.reshape(rows, x.shape[-1])
+    body = jnp.concatenate([xr, zero(x.shape[-1])], axis=0)[map_mid]
+    cs = sum(segs)
+    lo_ops, hi_ops, offs = [], [], []
+    off = 0
+    for c in segs:
+        lo_ops.append(xr[:, off + 7 * c:off + 8 * c])
+        hi_ops.append(xr[:, off:off + c])
+        offs.append(off)
+        off += 8 * c
+    lo = jnp.concatenate([jnp.concatenate(lo_ops, axis=1), zero(cs)], axis=0)[map_lo]
+    hi = jnp.concatenate([jnp.concatenate(hi_ops, axis=1), zero(cs)], axis=0)[map_hi]
+    out, foff = [], 0
+    for c, off in zip(segs, offs):
+        out.append(lo[..., foff:foff + c])
+        out.append(body[..., off:off + 8 * c])
+        out.append(hi[..., foff:foff + c])
+        foff += c
+    return jnp.concatenate(out, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -285,27 +337,6 @@ def build_banded_kernel(w: jax.Array, segs) -> jax.Array:
     return band.reshape(3, 3, -1, 8 * cout)
 
 
-def _halo_pad_folded_x(x, nbr, segs):
-    """Lane-space x halo: [NB,10,10,sum(8c)] -> [NB,10,10,sum(10c)].
-
-    Per segment, the -x neighbor's xi=7 lane block prepends and the +x
-    neighbor's xi=0 block appends (faces sliced BEFORE the row gather, as
-    in _halo_pad_axis)."""
-    lo_slot = _axis_offset_index(0, 0, -1)
-    hi_slot = _axis_offset_index(0, 0, 1)
-    zero = jnp.zeros((1,) + x.shape[1:], x.dtype)
-    xp = jnp.concatenate([x, zero], axis=0)
-    out = []
-    off = 0
-    for c in segs:
-        body = x[..., off:off + 8 * c]
-        lo = xp[..., off + 7 * c:off + 8 * c][nbr[:, lo_slot]]
-        hi = xp[..., off:off + c][nbr[:, hi_slot]]
-        out.append(jnp.concatenate([lo, body, hi], axis=-1))
-        off += 8 * c
-    return jnp.concatenate(out, axis=-1)
-
-
 def dense_subm_conv_folded(folded: jax.Array, plan: BrickPlan, w: jax.Array,
                            segs, precision=None,
                            compute_dtype=None) -> jax.Array:
@@ -326,11 +357,7 @@ def dense_subm_conv_folded(folded: jax.Array, plan: BrickPlan, w: jax.Array,
     folded = jnp.where(fold_mask(plan.occ, segs), folded, 0)
 
     def scene(f, nbr):
-        p = _halo_pad_axis(f, nbr, _axis_offset_index(-1, 0, 0),
-                           _axis_offset_index(1, 0, 0), axis=1)
-        p = _halo_pad_axis(p, nbr, _axis_offset_index(0, -1, 0),
-                           _axis_offset_index(0, 1, 0), axis=2)
-        p = _halo_pad_folded_x(p, nbr, segs)  # [NB,10,10,sum(10c)]
+        p = _halo_pad_folded(f, nbr, segs)  # [NB,10,10,sum(10c)]
         return jax.lax.conv_general_dilated(
             p, band,
             window_strides=(1, 1),

@@ -442,6 +442,20 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         cand = jnp.pad(cand, ((0, 0), (0, k - width)), constant_values=p)
 
     if sort:
+        if select == "pallas":
+            # VMEM-resident k-extraction kernel: one HBM read of the
+            # candidate table instead of top_k's full per-row sort, and
+            # the candidate-id pick happens in-kernel (no [P, k]
+            # take_along_axis). Bit-identical output (same tie order).
+            from geoformer_tpu.ops.knn_select_pallas import select_min_k_cand
+
+            d2k, idx = select_min_k_cand(
+                d2, cand, k, interpret=jax.default_backend() != "tpu"
+            )
+            valid = d2k < _BIG
+            idx = jnp.where(valid, idx, p)
+            out = jnp.where(valid, d2k, _BIG), idx.astype(jnp.int32)
+            return (*out, n_dropped, n_window_pts) if with_stats else out
         if select == "passes":
             d2k, pos = select_min_k(d2, k)  # k nearest within radius
         elif select == "approx":
@@ -500,9 +514,10 @@ def radius_knn(points, mask, radius, k, cell_cap: int = 8, sort: bool = True,
     dense [dense_grid^3] scatter grid (exact while the scene's occupied
     cell coords are < dense_grid; beyond that the cell's points drop from
     the graph — counted). select picks the k-selection: "topk" (lax.top_k
-    per-row sort), "passes" (select_min_k argmin passes — exact,
-    bit-identical final output), "approx" (approx_max_k, recall 0.95 —
-    measurement only). with_stats appends
+    per-row sort), "pallas" (VMEM-resident k-extraction kernel,
+    ops/knn_select_pallas.py — exact, bit-identical output), "passes"
+    (select_min_k argmin passes — exact, bit-identical), "approx"
+    (approx_max_k, recall 0.95 — measurement only). with_stats appends
     two [B] int32 counters: points dropped from the candidate table
     (cell-slot or per-cell capacity overflow, or dense_grid out-of-extent
     cells — those points get no edges) and points whose candidate window

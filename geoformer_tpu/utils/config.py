@@ -182,10 +182,16 @@ _DEFAULTS = dict(
     # sweeps (ops/geodesic.py:_hier_scene) — ~7-10x faster at eval scale
     tpu_geodesic_hier=True,
     # on-chip at prod fg=131k the hier solve runs 391/340/335 ms at
-    # sweeps 6/4/2 (ONCHIP_SUITE_r3); AP50 holds at 1.0 down to (fine_k=16,
-    # sweeps=2) on the walled AP scene (DESIGN.md) — 4 takes the 51 ms and
-    # keeps 2x margin from the (8,2) collapse cliff
-    tpu_geodesic_fine_sweeps=4,
+    # sweeps 6/4/2 (ONCHIP_SUITE_r3); r3 shipped 4 for margin when the AP
+    # gate was ONE walled scene. r5 re-gated sweeps=2 on all four
+    # topologies (walled / multi-room loop / thin bridge / clutter, AP
+    # 1.00 each) and measured the distance-error delta vs sweeps=4 at
+    # ~0.5 cm mean (clutter 25.9 vs 25.4 cm, multiroom 7.3 vs 6.5 — the
+    # hier approximation itself dominates); one pass-pair halves the fine
+    # stage, the prod-scale geodesic hot spot. The (fine_k=8, sweeps=2)
+    # collapse cliff is fine_k-driven (fine_k=8 fails the multiroom gate
+    # at EVERY sweep count) and fine_k stays 16
+    tpu_geodesic_fine_sweeps=2,
     tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
     tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
     # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)

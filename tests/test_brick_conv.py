@@ -275,3 +275,35 @@ def test_grid_plan_brick_mode_skips_rulebooks():
     for bp in plan.bricks:
         assert isinstance(bp, BrickPlan)
         assert int(bp.n_overflow[0]) == 0
+
+
+def test_diagonal_corner_adjacency():
+    """Halo exactness when the only adjacency crosses a brick corner.
+
+    Voxels (7,7,7) and (8,8,7) are submanifold neighbors whose bricks
+    touch only diagonally; the face-neighbor bricks between them are
+    empty. The former separable z/y/x halo exchange silently dropped the
+    contribution (measured max-abs 8.8 on this scene); the row-map halo
+    sources every halo row from its true diagonal brick."""
+    from geoformer_tpu.ops.voxelize import voxelize
+    from geoformer_tpu.ops.sparse_conv import apply_subm
+
+    rng = np.random.default_rng(0)
+    coords = np.zeros((6, 3), np.int32)
+    coords[0] = (7, 7, 7)
+    coords[1] = (8, 8, 7)
+    mask = np.array([True, True] + [False] * 4)
+    spatial = 32
+    grid = voxelize(jnp.asarray(coords[None]), jnp.asarray(mask[None]), 6, spatial)
+    nbr = build_subm_neighbors(grid, spatial)
+    vm = np.asarray(grid.voxel_mask[0])
+    feats = jnp.asarray(
+        rng.normal(size=(1, 6, 4)).astype(np.float32)
+    ) * jnp.asarray(vm[None, :, None])
+    w = jnp.asarray(rng.normal(size=(27, 4, 4)).astype(np.float32))
+    ref = apply_subm(feats, nbr, w)
+    plan = build_brick_plan(grid, spatial, 16)
+    got = subm_conv_bricks(feats, plan, w)
+    np.testing.assert_allclose(
+        np.asarray(got[0])[vm], np.asarray(ref[0])[vm], rtol=1e-5, atol=1e-5
+    )

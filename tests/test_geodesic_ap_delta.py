@@ -219,7 +219,7 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
               make_clutter_scene],
     ids=["walled", "multiroom-loop", "thin-bridge", "clutter"])
 def test_shipped_hier_defaults_ap_all_topologies(scene):
-    """Gate the SHIPPED hier defaults (fine_k=16, fine_sweeps=4,
+    """Gate the SHIPPED hier defaults (fine_k=16, fine_sweeps=2,
     radius_cell_cap=24 — tpu_* config defaults) on every topology the
     approximation could plausibly break: one-door wall, multi-room loop,
     thin bridge, clutter (VERDICT r4 #7: one synthetic topology is not a
@@ -230,7 +230,7 @@ def test_shipped_hier_defaults_ap_all_topologies(scene):
 
     mc = ModelConfig.from_cfg(load_config(None))
     assert (mc.geodesic_fine_k, mc.geodesic_fine_sweeps,
-            mc.radius_cell_cap) == (16, 4, 24), (
+            mc.radius_cell_cap) == (16, 2, 24), (
         "shipped geodesic/graph defaults moved — update this gate")
     ap50_e, ap25_e = _ap_for_solver(hier=False, cell_cap=mc.radius_cell_cap,
                                     scene=scene)
@@ -258,14 +258,14 @@ def test_hier_geodesic_ap_within_bound():
 
 @pytest.mark.slow
 def test_hier_fine_k_ap_within_bound():
-    """The SHIPPED production configuration — fine_k=16, fine_sweeps=4
+    """The SHIPPED production configuration — fine_k=16, fine_sweeps=2
     (tpu_geodesic_fine_k / tpu_geodesic_fine_sweeps defaults) — must hold
     the same AP bound CI gates the exact-vs-hier comparison with."""
     from geoformer_tpu.models.geoformer import ModelConfig
     from geoformer_tpu.utils.config import load_config
 
     mc = ModelConfig.from_cfg(load_config(None))
-    assert mc.geodesic_fine_k == 16 and mc.geodesic_fine_sweeps == 4, (
+    assert mc.geodesic_fine_k == 16 and mc.geodesic_fine_sweeps == 2, (
         "shipped geodesic defaults moved — update this gate to match"
     )
     ap50_exact, ap25_exact = _ap_for_solver(hier=False)
@@ -282,8 +282,12 @@ def test_hier_fine_block_ap_within_bound(fine_block):
     """Candidate fine-sweep block sizes (tpu_geodesic_fine_block — bigger
     blocks trade in-sweep Gauss-Seidel propagation for ~4-8x fewer
     sequential block dispatches; the fine stage is latency-bound on chip).
-    Gate: the walled-scene AP bound must hold at the shipped fine_k/sweeps
-    before any on-chip latency win is allowed to flip the default."""
+    Viability record for the measurement knob: the AP bound holds at
+    sweeps=4 (where r4f measured the on-chip tie that kept the default at
+    512). At the r5 shipped sweeps=2 the big blocks BREAK the bound (one
+    pass-pair doesn't recover the lost in-block propagation), so the knob
+    must not be combined with sweeps<4 — the shipped default stays 512,
+    which the 4-topology shipped-defaults gate covers."""
     ap50_exact, ap25_exact = _ap_for_solver(hier=False)
     ap50_b, ap25_b = _ap_for_solver(
         hier=True, fine_k=16, fine_sweeps=4, fine_block=fine_block)
@@ -302,7 +306,7 @@ def test_forced_graph_drops_ap_measured():
     the counters exist and why shipped capacities must report ZERO drops
     (the companion exact tests + BENCH dropped_points=0 gate that)."""
     ap50, ap25, n_drop, _, f = _ap_for_solver(
-        hier=True, fine_k=16, fine_sweeps=4, cell_cap=7, report_drops=True)
+        hier=True, fine_k=16, fine_sweeps=2, cell_cap=7, report_drops=True)
     rate = n_drop / f
     assert 0.05 <= rate <= 0.15, f"drop rate {rate:.3f} missed the target band"
     # measured degradation: the sparser instance survives, the denser one
@@ -325,7 +329,7 @@ def test_window_overflow_ap_floor():
     degradation contract for configs that do enable it
     (test_radius_knn_window_exact covers the exact regime)."""
     ap50, ap25, n_drop, n_wovf, f = _ap_for_solver(
-        hier=True, fine_k=16, fine_sweeps=4, cell_cap=16, window=20,
+        hier=True, fine_k=16, fine_sweeps=2, cell_cap=16, window=20,
         report_drops=True)
     assert n_wovf > 0.9 * f  # the forced window binds almost everywhere
     assert ap50 >= 0.5, f"AP50 {ap50} with {n_wovf}/{f} window overflows"

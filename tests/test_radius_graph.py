@@ -360,3 +360,51 @@ def test_select_min_k_matches_topk():
                                       np.asarray(want_p)[finite])
         # exhausted picks all carry the sentinel value
         assert (np.asarray(got_v)[~finite] >= 1e30).all()
+
+
+def test_radius_knn_select_pallas_bit_identical():
+    """select="pallas" (VMEM k-extraction kernel, interpret mode on CPU)
+    == select="topk" exactly: indices and d2, under ties, sparse rows,
+    and pad points (same cases as the "passes" pin)."""
+    rng = np.random.default_rng(33)
+    pts = np.concatenate([
+        rng.uniform(0, 1, size=(400, 3)),
+        np.full((40, 3), 0.5) + rng.normal(0, 1e-4, size=(40, 3)),
+    ]).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    mask[-7:] = False
+    for cap, k in [(16, 8), (64, 16)]:
+        a_d, a_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              0.1, k, cell_cap=cap, select="topk")
+        b_d, b_i = radius_knn(jnp.asarray(pts[None]), jnp.asarray(mask[None]),
+                              0.1, k, cell_cap=cap, select="pallas")
+        np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+        np.testing.assert_array_equal(np.asarray(a_d), np.asarray(b_d))
+
+
+def test_select_min_k_cand_matches_topk():
+    """select_min_k_cand == lax.top_k(-d2) + take_along_axis over the
+    candidate table: values everywhere, candidate ids on valid lanes
+    (exhausted rows diverge only on dead lanes, by the documented
+    contract), across width padding and row-block remainders."""
+    import jax
+    from geoformer_tpu.ops.knn_select_pallas import select_min_k_cand
+
+    rng = np.random.default_rng(17)
+    n, w, k = 300, 70, 16
+    d2 = rng.uniform(0, 1, size=(n, w)).astype(np.float32)
+    d2[rng.random((n, w)) < 0.3] = 1e30
+    d2[5] = 1e30                       # fully-dead row
+    d2[7, :6] = 0.25                   # ties
+    d2[12] = 1e30
+    d2[12, :3] = [0.1, 0.2, 0.3]       # fewer than k finite lanes
+    cand = rng.integers(0, 1000, size=(n, w)).astype(np.int32)
+    neg, pos = jax.lax.top_k(-jnp.asarray(d2), k)
+    ref_v = np.asarray(-neg)
+    ref_i = np.asarray(jnp.take_along_axis(jnp.asarray(cand), pos, axis=1))
+    got_v, got_i = select_min_k_cand(
+        jnp.asarray(d2), jnp.asarray(cand), k, block_rows=64, interpret=True
+    )
+    valid = ref_v < 1e30
+    np.testing.assert_array_equal(np.asarray(got_v), ref_v)
+    np.testing.assert_array_equal(np.asarray(got_i)[valid], ref_i[valid])

@@ -104,9 +104,7 @@ def bench_parts(nb, c, occupancy, reps, compute_dtype):
     measured ~13x its traffic roofline (8.0 ms at NB=4096 C16 bf16, r4k);
     this pins which half owns the gap and whether the conv emitter's
     [NB,10,10,10C] VALID lowering loses to explicit shifted matmuls."""
-    from geoformer_tpu.ops.brick import (BS, _halo_pad_axis,
-                                         _halo_pad_folded_x,
-                                         _axis_offset_index,
+    from geoformer_tpu.ops.brick import (BS, _halo_pad_folded,
                                          build_banded_kernel, build_brick_plan,
                                          dense_subm_conv_folded, fold_mask,
                                          fold_x)
@@ -129,11 +127,7 @@ def bench_parts(nb, c, occupancy, reps, compute_dtype):
     segs = (c,)
 
     def pad_one(f, nbr):
-        p = _halo_pad_axis(f, nbr, _axis_offset_index(-1, 0, 0),
-                           _axis_offset_index(1, 0, 0), axis=1)
-        p = _halo_pad_axis(p, nbr, _axis_offset_index(0, -1, 0),
-                           _axis_offset_index(0, 1, 0), axis=2)
-        return _halo_pad_folded_x(p, nbr, segs)
+        return _halo_pad_folded(f, nbr, segs)
 
     band = build_banded_kernel(w, segs)  # [3,3,10c,8c]
     if compute_dtype is not None:

@@ -132,11 +132,11 @@ def main():
         timed(knn, pts, mask, label="radius_knn sort=True")
     if "knn_ab" in want:
         # full-op A/B of the r5 levers: dense-grid window lookup x
-        # k-selection (topk sort / argmin passes / approx). Every arm's
-        # output is checked against the baseline op (passes/dense are
-        # exact; approx reports its miss count instead)
+        # k-selection (topk sort / pallas VMEM kernel / argmin passes /
+        # approx). Every arm's output is checked against the baseline op
+        # (pallas/passes/dense are exact; approx reports its miss count)
         for dense in (0, 256):
-            for sel in ("topk", "passes", "approx"):
+            for sel in ("topk", "pallas", "passes", "approx"):
                 arm = jax.jit(functools.partial(
                     radius_knn, radius=args.radius, k=args.knn,
                     cell_cap=args.cell_cap, cell_div=args.cell_div,
