@@ -84,7 +84,7 @@ class ModelConfig:
     # the prod-scale fine-sweep gathers were the single biggest line item
     # (~1.1 s of the 2.5 s forward at 131k fg points, K=64)
     geodesic_fine_k: int = 16
-    geodesic_k_sub: int = 16
+    geodesic_k_sub: int = 8  # keep in sync with utils/config.py
     geodesic_cell_factor: float = 2.0
     geodesic_coarse_eps: float = 0.0  # coarse fixpoint exit slack (meters)
     ball_radius: float = 0.2

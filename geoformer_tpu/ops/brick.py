@@ -108,58 +108,58 @@ def _gather_scene(dense, brick, cell, nb):
     return flat_dense[idx]
 
 
-def _halo_row_maps(nbr, nb):
-    """Neighbor table [NB,27] -> three [NB,10,10] row maps into the
-    (brick, z, y) row flattening (sink row = NB*64), one per x-part of the
-    halo: dx=-1 (x-lo face), dx=0 (body rows), dx=+1 (x-hi face).
+def _slot(dz, dy, dx):
+    """Slot of (dz,dy,dx) in the SUBM_OFFSETS enumeration."""
+    return (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
 
-    Row (n, pz, py) of the padded tensor sources brick nbr[n, (dz,dy,dx)]
-    at in-brick (z', y') with dz/dy = -1/0/+1 for pz/py = 0 / 1..8 / 9 and
-    z' = (pz-1) mod 8. Every halo row indexes its TRUE diagonal brick via
-    the 27-slot table — the previous separable z-then-y-then-x exchange
-    lost edge/corner contributions whenever a face-neighbor brick was
-    empty while the diagonal brick was occupied (a real submanifold
-    adjacency on thin diagonal structures; regression-pinned in
-    tests/test_brick_conv.py test_diagonal_corner_adjacency)."""
-    p10 = jnp.arange(10, dtype=jnp.int32)
-    d1 = jnp.where(p10 == 0, -1, jnp.where(p10 == 9, 1, 0))  # [10] dz/dy
-    inb = (p10 - 1) % 8  # [10] in-brick coordinate
-    maps = []
-    for dx in (-1, 0, 1):
-        slot = (d1[:, None] + 1) * 9 + (d1[None, :] + 1) * 3 + (dx + 1)  # [10,10]
-        src = nbr[:, slot]  # [NB,10,10]
-        row = src * (BS * BS) + inb[None, :, None] * BS + inb[None, None, :]
-        maps.append(jnp.where(src < nb, row, nb * BS * BS))
-    return maps
+
+def _nbr_gather(face, nbr_col, nb):
+    """Gather per-brick `face` rows [NB, ...] by a neighbor column
+    (missing bricks -> zeros): the only gather shape the halo uses —
+    NB rows per gather, so the pad stays brick-granular (TPU gathers cost
+    per ROW; an earlier (brick,z,y)-row formulation gathered 100x the
+    rows and doubled the conv, ONCHIP_SUITE_r5 r5b parts)."""
+    zero = jnp.zeros((1,) + face.shape[1:], face.dtype)
+    return jnp.concatenate([face, zero], axis=0)[nbr_col]
+
+
+_D2SL = {-1: slice(BS - 1, BS), 0: slice(None), 1: slice(0, 1)}
 
 
 def _halo_pad_scene(dense, nbr, nb):
     """[NB,8,8,8,C] + neighbor table [NB,27] -> [NB,10,10,10,C].
 
-    Three row-gathers over the (brick, z, y) row maps — body rows [8,C]
-    wide plus the x=7 / x=0 faces for the x halo — then one x-axis concat.
-    Exact for every occupied-brick configuration (see _halo_row_maps), and
-    cheaper than the former separable exchange: one materialized [NB,10,
-    10,*] buffer per part instead of three progressively larger concats."""
-    c = dense.shape[-1]
-    map_lo, map_mid, map_hi = _halo_row_maps(nbr, nb)
-    zero = lambda w: jnp.zeros((1, w), dense.dtype)
-    body = jnp.concatenate(
-        [dense.reshape(nb * BS * BS, BS * c), zero(BS * c)], axis=0
-    )
-    lo = jnp.concatenate(
-        [dense[:, :, :, BS - 1, :].reshape(nb * BS * BS, c), zero(c)], axis=0
-    )
-    hi = jnp.concatenate(
-        [dense[:, :, :, 0, :].reshape(nb * BS * BS, c), zero(c)], axis=0
-    )
+    Exact halo for every occupied-brick configuration: each of the 27
+    (dz,dy,dx) regions of the padded tensor gathers its slab DIRECTLY
+    from the true (possibly diagonal) brick via the 27-slot neighbor
+    table — 26 NB-row gathers + nested concats. The previous separable
+    z-then-y-then-x face exchange lost edge/corner contributions whenever
+    a face-neighbor brick was empty while the diagonal brick was occupied
+    (a real submanifold adjacency on thin diagonal structures;
+    regression-pinned in tests/test_brick_conv.py
+    test_diagonal_corner_adjacency). An exact (brick,z,y)-row-map variant
+    measured 2x worse: it gathered 100x the rows, and TPU gathers cost
+    per row (ONCHIP_SUITE_r5 r5b parts)."""
+
+    def piece(dz, dy, dx):
+        slab = dense[:, _D2SL[dz], _D2SL[dy], _D2SL[dx], :]
+        if dz == dy == dx == 0:
+            return slab
+        return _nbr_gather(slab, nbr[:, _slot(dz, dy, dx)], nb)
+
     return jnp.concatenate(
         [
-            lo[map_lo][..., None, :],               # [NB,10,10,1,C]
-            body[map_mid].reshape(nb, 10, 10, BS, c),
-            hi[map_hi][..., None, :],
+            jnp.concatenate(
+                [
+                    jnp.concatenate([piece(dz, dy, -1), piece(dz, dy, 0),
+                                     piece(dz, dy, 1)], axis=3)
+                    for dy in (-1, 0, 1)
+                ],
+                axis=2,
+            )
+            for dz in (-1, 0, 1)
         ],
-        axis=3,
+        axis=1,
     )
 
 
@@ -234,35 +234,47 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
 def _halo_pad_folded(x, nbr, segs):
     """Folded-layout halo: [NB,8,8,sum(8c)] -> [NB,10,10,sum(10c)].
 
-    Same three row-gathers as _halo_pad_scene (exact diagonal sourcing);
-    the x halo lives on the lane axis, so the lo/hi operands are the
-    per-segment x=7 / x=0 lane blocks and the final concat interleaves
-    [lo_s, body_s, hi_s] per segment — the layout build_banded_kernel's
-    rows expect."""
+    Same exact 27-region scheme as _halo_pad_scene; the x axis lives on
+    the lanes, so the dx=+-1 pieces are per-segment lane-block slices
+    (sliced BEFORE the gather — all segments ride one NB-row gather) and
+    each (dz,dy) row interleaves [lo_s, body_s, hi_s] per segment, the
+    layout build_banded_kernel's rows expect."""
     segs = tuple(segs)
     nb = x.shape[0]
-    rows = nb * BS * BS
-    map_lo, map_mid, map_hi = _halo_row_maps(nbr, nb)
-    zero = lambda w: jnp.zeros((1, w), x.dtype)
-    xr = x.reshape(rows, x.shape[-1])
-    body = jnp.concatenate([xr, zero(x.shape[-1])], axis=0)[map_mid]
-    cs = sum(segs)
-    lo_ops, hi_ops, offs = [], [], []
+    lo_sl, hi_sl, offs = [], [], []
     off = 0
     for c in segs:
-        lo_ops.append(xr[:, off + 7 * c:off + 8 * c])
-        hi_ops.append(xr[:, off:off + c])
+        lo_sl.append(slice(off + 7 * c, off + 8 * c))
+        hi_sl.append(slice(off, off + c))
         offs.append(off)
         off += 8 * c
-    lo = jnp.concatenate([jnp.concatenate(lo_ops, axis=1), zero(cs)], axis=0)[map_lo]
-    hi = jnp.concatenate([jnp.concatenate(hi_ops, axis=1), zero(cs)], axis=0)[map_hi]
-    out, foff = [], 0
-    for c, off in zip(segs, offs):
-        out.append(lo[..., foff:foff + c])
-        out.append(body[..., off:off + 8 * c])
-        out.append(hi[..., foff:foff + c])
-        foff += c
-    return jnp.concatenate(out, axis=-1)
+    cs = sum(segs)
+
+    def row(dz, dy):
+        """[NB, zext, yext, sum(10c)] for one (dz,dy) region."""
+        zsl, ysl = _D2SL[dz], _D2SL[dy]
+        base = x[:, zsl, ysl, :]
+        lo = jnp.concatenate([base[..., s] for s in lo_sl], axis=-1)
+        hi = jnp.concatenate([base[..., s] for s in hi_sl], axis=-1)
+        lo = _nbr_gather(lo, nbr[:, _slot(dz, dy, -1)], nb)
+        hi = _nbr_gather(hi, nbr[:, _slot(dz, dy, 1)], nb)
+        if not (dz == dy == 0):
+            base = _nbr_gather(base, nbr[:, _slot(dz, dy, 0)], nb)
+        out, foff = [], 0
+        for c, o in zip(segs, offs):
+            out.append(lo[..., foff:foff + c])
+            out.append(base[..., o:o + 8 * c])
+            out.append(hi[..., foff:foff + c])
+            foff += c
+        return jnp.concatenate(out, axis=-1)
+
+    return jnp.concatenate(
+        [
+            jnp.concatenate([row(dz, -1), row(dz, 0), row(dz, 1)], axis=2)
+            for dz in (-1, 0, 1)
+        ],
+        axis=1,
+    )
 
 
 # ---------------------------------------------------------------------------

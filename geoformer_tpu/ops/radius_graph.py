@@ -402,32 +402,39 @@ def _radius_knn_scene(points, mask, radius, k, cell_cap, spatial=1024, sort=True
         # [P, 27] (one row-gather), then ONE merged row-gather per window
         # slot from a packed [CC, cap*4] table — each cell's flat xyz
         # (cap*3 lanes, build_cell_table layout) concatenated with its
-        # member indices BITCAST to f32 (exact; cast back after the
-        # gather). The previous two separate gathers (indices [P,27] rows
-        # of cap*4 B + positions [P,27] rows of cap*12 B) paid the ~7 ns
+        # member indices ENCODED as exact f32 VALUES (indices < 2^24
+        # roundtrip exactly; recovered with a cast after the gather). The
+        # previous two separate gathers (indices [P,27] rows of cap*4 B +
+        # positions [P,27] rows of cap*12 B) paid the ~7 ns
         # row-granularity cost TWICE per (point, window slot) — 38.7 +
         # ~25 ms at prod (r4n knn_parts); merging halves the row count for
         # the same bytes. Bit-identical output (the tests pin vs brute
-        # force and the per-slot oracle).
+        # force and the per-slot oracle; geo_bisect knn_parts pins merged
+        # vs split ON CHIP).
+        #
+        # NOT a bitcast: int32 indices bitcast into f32 lanes are DENORMAL
+        # bit patterns (any index < 2^23), and the TPU flushes denormals —
+        # the r5b on-chip knn_parts run measured the bitcast form
+        # corrupting 84.9M of 84.9M candidate lanes while every CPU test
+        # passed. Value encoding keeps the lanes normal floats.
+        assert p < (1 << 24), "f32 value-encoded indices need P < 2^24"
         cwin_pad = jnp.concatenate([cwin, jnp.full((1, 27), cc, jnp.int32)], axis=0)
         cidx = cwin_pad[jnp.minimum(p2c, cc)]  # [P, 27]
         cidx = jnp.where((p2c < cc)[:, None] & mask[:, None], cidx, cc)
         pack = jnp.concatenate(
-            [cell_xyz, jax.lax.bitcast_convert_type(cell_pts, jnp.float32)],
-            axis=1,
+            [cell_xyz, cell_pts.astype(jnp.float32)], axis=1
         )  # [CC, cap*4]
         pad_row = jnp.concatenate(
             [jnp.zeros((1, cell_cap * 3), points.dtype),
-             jax.lax.bitcast_convert_type(
-                 jnp.full((1, cell_cap), p, jnp.int32), jnp.float32)],
+             jnp.full((1, cell_cap), float(p), jnp.float32)],
             axis=1,
         )
         pack_pad = jnp.concatenate([pack, pad_row], axis=0)
         g = pack_pad[cidx]  # [P, 27, cap*4] — one row-gather per slot
         cpos = g[:, :, : cell_cap * 3].reshape(p, 27 * cell_cap * 3)
-        cand = jax.lax.bitcast_convert_type(
-            g[:, :, cell_cap * 3:], jnp.int32
-        ).reshape(p, 27 * cell_cap)
+        cand = g[:, :, cell_cap * 3:].astype(jnp.int32).reshape(
+            p, 27 * cell_cap
+        )
         width = 27 * cell_cap
 
     tq = jnp.tile(points, (1, width))  # [P, W*3] (xyzxyz...)

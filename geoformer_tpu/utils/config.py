@@ -193,8 +193,14 @@ _DEFAULTS = dict(
     # at EVERY sweep count) and fine_k stays 16
     tpu_geodesic_fine_sweeps=2,
     tpu_geodesic_fine_k=16,    # fine sweeps use the nearest k edges (0=all)
-    tpu_geodesic_k_sub=16,     # contraction edge-lift uses the nearest k
-    # edges; 8 halves the contract sort for +1.6cm mean err (DESIGN.md)
+    # contraction edge-lift uses the nearest k edges; 8 halves the
+    # contract's 2.1M-key sort. r5 re-gate: AP 1.00 on all four
+    # topologies and mean-|err| UNCHANGED vs k_sub=16 at shipped sweeps=2
+    # (21.8/25.9/7.3 cm vs 21.9/25.9/7.3 — the cell-pair dedup keeps the
+    # same coarse connectivity; the dropped slots only lose redundant
+    # parallel edges). The earlier +1.6cm DESIGN.md note predates the
+    # kc-cap dedup ordering
+    tpu_geodesic_k_sub=8,
     tpu_geodesic_cell_factor=2.0,
     # coarse-fixpoint exit slack (meters): 0 = exact fixpoint. The exact
     # exit spends tail cycles shaving sub-mm amounts off far-field values

@@ -152,7 +152,8 @@ def make_clutter_scene(seed=3, spacing=0.02):
 
 def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
                    window=0, report_drops=False, cell_factor=2.0, kc=32,
-                   coarse_eps=0.0, fine_block=None, scene=make_walled_scene):
+                   coarse_eps=0.0, fine_block=None, k_sub=16,
+                   scene=make_walled_scene):
     pts, inst = scene()
     f = pts.shape[0]
     mask = np.ones(f, bool)
@@ -180,7 +181,7 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
             nbr_i, nbr_d, seeds, seed_mask, jnp.asarray(mask[None]), radius,
             64, jnp.asarray(pts[None]), fine_sweeps=fine_sweeps,
             cell_factor=cell_factor, fine_k=fine_k, kc=kc,
-            coarse_eps=coarse_eps, fine_block=fine_block,
+            coarse_eps=coarse_eps, fine_block=fine_block, k_sub=k_sub,
         )
     else:
         geo = geodesic_distance(
@@ -219,7 +220,7 @@ def _ap_for_solver(hier: bool, fine_k=None, fine_sweeps=6, cell_cap=16,
               make_clutter_scene],
     ids=["walled", "multiroom-loop", "thin-bridge", "clutter"])
 def test_shipped_hier_defaults_ap_all_topologies(scene):
-    """Gate the SHIPPED hier defaults (fine_k=16, fine_sweeps=2,
+    """Gate the SHIPPED hier defaults (fine_k=16, fine_sweeps=2, k_sub=8,
     radius_cell_cap=24 — tpu_* config defaults) on every topology the
     approximation could plausibly break: one-door wall, multi-room loop,
     thin bridge, clutter (VERDICT r4 #7: one synthetic topology is not a
@@ -230,7 +231,7 @@ def test_shipped_hier_defaults_ap_all_topologies(scene):
 
     mc = ModelConfig.from_cfg(load_config(None))
     assert (mc.geodesic_fine_k, mc.geodesic_fine_sweeps,
-            mc.radius_cell_cap) == (16, 2, 24), (
+            mc.geodesic_k_sub, mc.radius_cell_cap) == (16, 2, 8, 24), (
         "shipped geodesic/graph defaults moved — update this gate")
     ap50_e, ap25_e = _ap_for_solver(hier=False, cell_cap=mc.radius_cell_cap,
                                     scene=scene)
@@ -239,7 +240,7 @@ def test_shipped_hier_defaults_ap_all_topologies(scene):
     ap50_h, ap25_h, n_drop, _, _ = _ap_for_solver(
         hier=True, fine_k=mc.geodesic_fine_k,
         fine_sweeps=mc.geodesic_fine_sweeps, cell_cap=mc.radius_cell_cap,
-        report_drops=True, scene=scene)
+        k_sub=mc.geodesic_k_sub, report_drops=True, scene=scene)
     assert n_drop == 0, f"{scene.__name__}: shipped cap dropped {n_drop} pts"
     assert ap50_h >= ap50_e - 0.05, (scene.__name__, ap50_h)
     assert ap25_h >= ap25_e - 0.05, (scene.__name__, ap25_h)

@@ -41,6 +41,9 @@ def main():
                     help="override tpu_radius_cell_cap")
     ap.add_argument("--brick_fold", type=int, default=None,
                     help="override tpu_brick_fold_max_c (0 = off)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch size (per-stage batched-dispatch scaling: "
+                         "times are per DISPATCH, divide by B for per-scene)")
     args = ap.parse_args()
 
     from geoformer_tpu.models.geoformer import GeoFormer, ModelConfig
@@ -49,7 +52,7 @@ def main():
 
     cfg = load_config(
         None,
-        batch_size=1,
+        batch_size=args.batch,
         n_decode_point=args.contexts,
         n_query_points=args.queries,
         n_downsampling=args.downsampling,
@@ -71,11 +74,12 @@ def main():
     )
     mc = ModelConfig.from_cfg(cfg)
     model = GeoFormer(mc)
-    batch = _synthetic_batch(cfg, 1, seed=0)
+    batch = _synthetic_batch(cfg, args.batch, seed=0)
     k = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(k, 3)
 
-    print(f"device={jax.devices()[0]} points={args.points} depth={args.depth}")
+    print(f"device={jax.devices()[0]} points={args.points} depth={args.depth} "
+          f"batch={args.batch}")
 
     t0 = time.perf_counter()
     variables = jax.jit(

@@ -308,21 +308,21 @@ def main():
         @jax.jit
         def s_pack_d2(cidx, cell_pts, points, mask):
             # r5 production path: ONE row-gather per (point, window slot)
-            # from the packed [CC, cap*4] table (xyz || bitcast idx)
+            # from the packed [CC, cap*4] table (xyz || f32 VALUE-encoded
+            # idx — the bitcast form made every index < 2^23 a denormal
+            # the TPU flushed to 0; this stage is the on-chip canary that
+            # caught it: 84.9M/84.9M lanes corrupt, r5b)
             pts_pad = jnp.concatenate(
                 [points[0], jnp.zeros((1, 3), points.dtype)], axis=0)
             cell_xyz = pts_pad[cell_pts.reshape(-1)].reshape(cc, cap * 3)
             pack = jnp.concatenate(
-                [cell_xyz, jax.lax.bitcast_convert_type(cell_pts, jnp.float32)],
-                axis=1)
+                [cell_xyz, cell_pts.astype(jnp.float32)], axis=1)
             pad_row = jnp.concatenate(
                 [jnp.zeros((1, cap * 3), points.dtype),
-                 jax.lax.bitcast_convert_type(
-                     jnp.full((1, cap), f, jnp.int32), jnp.float32)], axis=1)
+                 jnp.full((1, cap), float(f), jnp.float32)], axis=1)
             g = jnp.concatenate([pack, pad_row], axis=0)[cidx]  # [P,27,cap*4]
             cpos = g[:, :, : cap * 3].reshape(f, 27 * cap * 3)
-            candm = jax.lax.bitcast_convert_type(
-                g[:, :, cap * 3:], jnp.int32).reshape(f, 27 * cap)
+            candm = g[:, :, cap * 3:].astype(jnp.int32).reshape(f, 27 * cap)
             tq = jnp.tile(points[0], (1, 27 * cap))
             diff2 = (cpos - tq) ** 2
             d2 = diff2[:, 0::3] + diff2[:, 1::3] + diff2[:, 2::3]
