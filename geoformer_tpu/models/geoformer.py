@@ -102,9 +102,9 @@ class ModelConfig:
     # dense scatter-grid window lookup (0 = compare-count lookup); keep in
     # sync with utils/config.py tpu_knn_dense_grid
     knn_dense_grid: int = 256
-    # candidate k-selection: "topk" | "passes" | "approx"; keep in sync
-    # with utils/config.py tpu_knn_select
-    knn_select: str = "topk"
+    # candidate k-selection: "pallas" | "topk" | "passes" | "approx";
+    # keep in sync with utils/config.py tpu_knn_select
+    knn_select: str = "pallas"
     ball_nsample: int = 64
     test_score_thresh: float = 0.1  # keep in sync with config TEST_SCORE_THRESH
     test_npoint_thresh: int = 50    # keep in sync with config TEST_NPOINT_THRESH

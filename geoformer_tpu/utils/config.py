@@ -159,13 +159,14 @@ _DEFAULTS = dict(
     # cells, beyond any ScanNet room); farther cells' points drop from the
     # graph and surface in n_radius_cell_overflow
     tpu_knn_dense_grid=256,
-    # k-selection over the candidate window: "topk" (lax.top_k per-row
-    # sort) ships. MEASURED on-chip at prod fg (ONCHIP_SUITE_r5 knn_ab):
-    # topk 218.3 ms e2e; "passes" (k argmin passes, exact) 295.1 ms —
-    # k sequential full-buffer reduces cost MORE than the one per-row
-    # sort; "approx" (approx_max_k recall .95) 213.7 ms for 0.6% wrong
-    # edges — not worth exactness. Knob kept for measurement only.
-    tpu_knn_select="topk",
+    # k-selection over the candidate window, MEASURED on-chip at prod fg
+    # (ONCHIP_SUITE_r5 r5c knn_ab, dense=256 arms, end-to-end radius_knn):
+    # "pallas" (VMEM-resident k-extraction kernel, ops/knn_select_pallas)
+    # 128.9 ms vs "topk" (lax.top_k per-row sort) 175.4 — exact, 0 idx
+    # mismatches, ships. "passes" (k argmin passes in XLA: re-reads the
+    # table from HBM every pass) 250.7 ms; "approx" (approx_max_k recall
+    # .95) 170.2 ms for 0.6% wrong edges — measurement-only arms.
+    tpu_knn_select="pallas",
     tpu_device_matcher=True,    # auction LSA on device (no host callback)
     tpu_brick_occupancy=32,     # dense-brick subm convs: NB = V // this
                                 # (ops/brick.py; 0 = gather-rulebook path)
