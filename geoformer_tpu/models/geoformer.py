@@ -129,6 +129,9 @@ class ModelConfig:
     # brick x axis into lanes tiles exactly (ops/brick.py fold_x).
     # keep in sync with utils/config.py tpu_brick_fold_max_c
     brick_fold_max_c: int = 32
+    # fold during training too (default off: the folded prod train step
+    # OOMs one v5e; see utils/config.py tpu_brick_fold_train)
+    brick_fold_train: bool = False
     # frozen modules (cfg.fix_module): their BN uses running stats, dropout is
     # off, and outputs are stop_gradient'ed (matches requires_grad=False +
     # .eval() + no_grad contexts, geoformer.py:167-184,531,552)
@@ -199,6 +202,7 @@ class ModelConfig:
             bf16=cfg.tpu_bf16 or cfg.tpu_compute_dtype == "bfloat16",
             remat=cfg.tpu_remat,
             brick_fold_max_c=cfg.tpu_brick_fold_max_c,
+            brick_fold_train=cfg.tpu_brick_fold_train,
         )
 
 
@@ -301,6 +305,7 @@ class GeoFormerBase(nn.Module):
             mc.m, mc.classes, mc.depth,
             compute_dtype=jnp.bfloat16 if mc.bf16 else None,
             remat=mc.remat, fold_max_c=mc.brick_fold_max_c,
+            fold_train=mc.brick_fold_train,
             name="backbone",
         )
         self.semantic = SemanticHead(mc.m, mc.classes, name="semantic")

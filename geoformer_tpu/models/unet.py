@@ -184,6 +184,13 @@ class UBlock(nn.Module):
     # (0 = off): narrow-channel levels pad their 16-lane buffers 8x under
     # XLA's (8,128) tiling; folded levels tile exactly (ops/brick.py)
     fold_max_c: int = 0
+    # fold during TRAINING too (fold is layout-only — params/stats are
+    # identical either way): default False because the folded prod train
+    # step OOMs one v5e chip by 0.44 GB with 7.6 GB of HLO-temp
+    # fragmentation (r5c train_bench B=1 fold32) while the unfolded step
+    # is the proven fit (r4g, 1553.9 ms); the fold's win is the EVAL
+    # forward. Flip via tpu_brick_fold_train for measurement
+    fold_train: bool = False
 
     @nn.compact
     def __call__(self, feats, plan: GridPlan, train: bool):
@@ -198,7 +205,8 @@ class UBlock(nn.Module):
         # brick-native transitions: down/up convs run in brick space, so
         # recursion stays dense end-to-end (no sparse<->dense per level)
         native = bool(plan.brick_links)
-        fold = bool(native and self.fold_max_c and c0 <= self.fold_max_c)
+        fold = bool(native and self.fold_max_c and c0 <= self.fold_max_c
+                    and (not train or self.fold_train))
         # rematerialize residual blocks during training to trade FLOPs for
         # HBM (jax.checkpoint; reference has no analog — torch keeps all
         # activations and OOM-guards with empty_cache, train.py:49)
@@ -245,6 +253,7 @@ class UBlock(nn.Module):
                 remat=self.remat,
                 rep_io=native,
                 fold_max_c=self.fold_max_c,
+                fold_train=self.fold_train,
                 name="u",
             )(d, plan, train)
             # up: BN, ReLU, SparseInverseConv3d k2
@@ -303,6 +312,7 @@ class SparseUNetBackbone(nn.Module):
     compute_dtype: object = None
     remat: bool = False
     fold_max_c: int = 0  # x-folded levels with c0 <= this (0 = off)
+    fold_train: bool = False  # fold during training too (see UBlock)
 
     @nn.compact
     def __call__(self, voxel_feats, plan: GridPlan, train: bool):
@@ -328,6 +338,7 @@ class SparseUNetBackbone(nn.Module):
             xd = UBlock(planes, self.block_reps, True, level=0,
                         compute_dtype=self.compute_dtype, remat=self.remat,
                         rep_io=True, fold_max_c=self.fold_max_c,
+                        fold_train=self.fold_train,
                         name="unet")(xd, plan, train)
             x = from_dense(xd, bp0)
         else:

@@ -122,6 +122,14 @@ _DEFAULTS = dict(
     # fold32 279.7 ms (bf16 273.7 -> fold64 247.6); per-level fold WINS at
     # C16/C32 (8x/4x lane-pad removed) and ~ties at C48, so 32 ships
     tpu_brick_fold_max_c=32,
+    # apply the fold in the TRAIN step too. Default False: the folded
+    # prod train step (B=1, remat, bf16) exceeded one v5e's HBM by
+    # 0.44 GB with 7.6 GB of HLO-temp fragmentation (r5c train_bench
+    # fold32 OOM dump), while the unfolded step is the proven fit (r4g,
+    # 1553.9 ms/step). The fold is layout-only (params/batch_stats are
+    # identical; checkpoints interchange), so eval keeps its measured
+    # win while training runs unfolded
+    tpu_brick_fold_train=False,
     tpu_max_points=250000,      # P: padded points per scene
     tpu_max_voxels=131072,      # V_0: level-0 voxel capacity per scene
     tpu_voxel_decay=0.5,        # V_{l+1} = ceil(V_l * decay) (clamped to >= 64)

@@ -180,8 +180,12 @@ def test_backbone_folded_train_step_grads():
     feats = jnp.asarray(rng.normal(size=(1, v0, 6)).astype(np.float32))
     feats = jnp.where(jnp.asarray(plan.grids[0].voxel_mask)[..., None], feats, 0.0)
 
+    # fold_train=True: training folds only on request after the r5c
+    # prod-scale fold32 OOM (tpu_brick_fold_train); this test pins that
+    # the opted-in folded TRAIN step still matches the standard layout
     std = SparseUNetBackbone(m=8, classes=4, depth=depth)
-    fld = SparseUNetBackbone(m=8, classes=4, depth=depth, fold_max_c=256)
+    fld = SparseUNetBackbone(m=8, classes=4, depth=depth, fold_max_c=256,
+                             fold_train=True)
     vs = std.init(jax.random.PRNGKey(0), feats, plan, True)
 
     def loss(model, params):

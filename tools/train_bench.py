@@ -81,7 +81,12 @@ def main():
         tpu_unet_depth=args.depth,
         tpu_ball_nsample=64,
         tpu_brick_occupancy=args.brick_occupancy,
-        **({} if args.brick_fold is None else {"tpu_brick_fold_max_c": args.brick_fold}),
+        # an explicit --brick_fold also forces the fold INTO the train
+        # step (tpu_brick_fold_train; default train runs unfolded after
+        # the r5c fold32 OOM) so the A/B arm measures what it names
+        **({} if args.brick_fold is None
+           else {"tpu_brick_fold_max_c": args.brick_fold,
+                 "tpu_brick_fold_train": args.brick_fold > 0}),
         tpu_remat=bool(args.remat),
         tpu_compute_dtype="float32" if args.f32 else "bfloat16",
         prepare_epochs=120 if args.prepare else 0,
