@@ -26,10 +26,12 @@ contract as ops/voxelize.py.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from geoformer_tpu.ops.voxelize import VoxelGrid, pack_key, unpack_key, voxelize
 
@@ -124,9 +126,16 @@ def _nbr_gather(face, nbr_col, nb):
 
 
 _D2SL = {-1: slice(BS - 1, BS), 0: slice(None), 1: slice(0, 1)}
+# region slab of the PADDED tensor per offset sign, and the zero-pad that
+# places a gathered slab back at its SOURCE slice (the _D2SL dual)
+_P2SL = {-1: slice(0, 1), 0: slice(1, BS + 1), 1: slice(BS + 1, BS + 2)}
+_PAD3 = {-1: (BS - 1, 0), 0: (0, 0), 1: (0, BS - 1)}
+
+_OFFS26 = [(dz, dy, dx) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+           for dx in (-1, 0, 1) if (dz, dy, dx) != (0, 0, 0)]
 
 
-def _halo_pad_scene(dense, nbr, nb):
+def _halo_pad_scene_impl(dense, nbr, nb):
     """[NB,8,8,8,C] + neighbor table [NB,27] -> [NB,10,10,10,C].
 
     Exact halo for every occupied-brick configuration: each of the 27
@@ -161,6 +170,40 @@ def _halo_pad_scene(dense, nbr, nb):
         ],
         axis=1,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _halo_pad_scene(dense, nbr, nb):
+    return _halo_pad_scene_impl(dense, nbr, nb)
+
+
+def _halo_pad_scene_fwd(dense, nbr, nb):
+    return _halo_pad_scene_impl(dense, nbr, nb), nbr
+
+
+def _halo_pad_scene_bwd(nb, nbr, g):
+    """Transpose of the 27-region halo as 26 GATHERS, not scatters.
+
+    The neighbor table is geometrically symmetric — m = nbr[n, (dz,dy,dx)]
+    iff n = nbr[m, (-dz,-dy,-dx)] (both built from occupied coords) — so
+    the cotangent of brick n's source slice accumulates each halo-region
+    slab of g gathered through the NEGATED offset slot. Autodiff instead
+    transposes each forward gather to a scatter-add; at prod train scale
+    the scatter temps + fragmentation pushed the B=1 step 0.44 GB past
+    one v5e's HBM (r5c train_bench OOM dump) where the r4 separable-halo
+    step fit. Grads pinned against autodiff of the raw impl in
+    tests/test_brick_fold.py test_halo_custom_vjp_matches_autodiff."""
+    out = g[:, 1:BS + 1, 1:BS + 1, 1:BS + 1, :]
+    for dz, dy, dx in _OFFS26:
+        slab = g[:, _P2SL[dz], _P2SL[dy], _P2SL[dx], :]
+        got = _nbr_gather(slab, nbr[:, _slot(-dz, -dy, -dx)], nb)
+        out = out + jnp.pad(
+            got, ((0, 0), _PAD3[dz], _PAD3[dy], _PAD3[dx], (0, 0))
+        )
+    return out, np.zeros(nbr.shape, jax.dtypes.float0)
+
+
+_halo_pad_scene.defvjp(_halo_pad_scene_fwd, _halo_pad_scene_bwd)
 
 
 def to_dense(feats: jax.Array, plan: BrickPlan) -> jax.Array:
@@ -231,7 +274,7 @@ def dense_subm_conv(dense: jax.Array, plan: BrickPlan, w: jax.Array,
     return jax.vmap(scene)(dense, plan.nbr)
 
 
-def _halo_pad_folded(x, nbr, segs):
+def _halo_pad_folded_impl(x, nbr, segs):
     """Folded-layout halo: [NB,8,8,sum(8c)] -> [NB,10,10,sum(10c)].
 
     Same exact 27-region scheme as _halo_pad_scene; the x axis lives on
@@ -275,6 +318,65 @@ def _halo_pad_folded(x, nbr, segs):
         ],
         axis=1,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _halo_pad_folded(x, nbr, segs):
+    return _halo_pad_folded_impl(x, nbr, segs)
+
+
+def _halo_pad_folded_fwd(x, nbr, segs):
+    return _halo_pad_folded_impl(x, nbr, segs), nbr
+
+
+def _halo_pad_folded_bwd(segs, nbr, g):
+    """Gather-form transpose of the folded halo (see _halo_pad_scene_bwd).
+
+    Output lane layout per segment s (running offset po = sum 10c_t):
+    lo [po, po+c) <- source block 7, body [po+c, po+9c) <- whole segment,
+    hi [po+9c, po+10c) <- source block 0."""
+    segs = tuple(segs)
+    nb = g.shape[0]
+    lo_sl, body_sl, hi_sl = [], [], []
+    po = 0
+    for c in segs:
+        lo_sl.append(slice(po, po + c))
+        body_sl.append(slice(po + c, po + 9 * c))
+        hi_sl.append(slice(po + 9 * c, po + 10 * c))
+        po += 10 * c
+
+    def lanes(t, which):
+        sl = {"lo": lo_sl, "body": body_sl, "hi": hi_sl}[which]
+        return jnp.concatenate([t[..., s] for s in sl], axis=-1)
+
+    def place(t, which):
+        """Per-segment narrow slab [..., sum(c)] -> full [..., sum(8c)]
+        at source block 7 ("lo") or 0 ("hi")."""
+        out, foff = [], 0
+        for c in segs:
+            seg = t[..., foff:foff + c]
+            pad = (7 * c, 0) if which == "lo" else (0, 7 * c)
+            out.append(jnp.pad(seg, ((0, 0),) * (t.ndim - 1) + (pad,)))
+            foff += c
+        return jnp.concatenate(out, axis=-1)
+
+    out = lanes(g[:, 1:BS + 1, 1:BS + 1, :], "body")
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            slab = g[:, _P2SL[dz], _P2SL[dy], :]
+            pad_zy = ((0, 0), _PAD3[dz], _PAD3[dy], (0, 0))
+            for dx, which in ((-1, "lo"), (0, "body"), (1, "hi")):
+                if dz == dy == dx == 0:
+                    continue  # center body handled above (no gather)
+                part = lanes(slab, which)
+                got = _nbr_gather(part, nbr[:, _slot(-dz, -dy, -dx)], nb)
+                if which != "body":
+                    got = place(got, which)
+                out = out + jnp.pad(got, pad_zy)
+    return out, np.zeros(nbr.shape, jax.dtypes.float0)
+
+
+_halo_pad_folded.defvjp(_halo_pad_folded_fwd, _halo_pad_folded_bwd)
 
 
 # ---------------------------------------------------------------------------
